@@ -1,0 +1,226 @@
+"""Shared Flax building blocks for the diffusion models.
+
+TPU-first conventions used throughout the model zoo:
+  * NHWC layout everywhere (XLA's native conv layout on TPU; the reference's
+    torch models are NCHW — we do not mirror that).
+  * bf16 activations / fp32 normalization statistics by default.
+  * Attention runs through ``distdiff_tpu.ops.attention`` which dispatches to
+    a Pallas flash-attention kernel on TPU (the role xFormers plays in the
+    reference, ``generate_data.py:964-975``) and a pure-XLA path elsewhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from distdiff_tpu.ops import attention as attn_op
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, fp32.
+
+    Matches the SD convention (flip_sin_to_cos=True, downscale_freq_shift=0):
+    output is [cos | sin] halves over ``dim//2`` frequencies.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+class TimestepMLP(nn.Module):
+    """time_embedding: Linear -> SiLU -> Linear, fp32 in / model dtype out."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        emb = nn.Dense(self.dim, dtype=jnp.float32, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, dtype=jnp.float32, name="linear_2")(emb)
+        return emb.astype(self.dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        groups = min(self.num_groups, c)
+        x32 = x.astype(jnp.float32)
+        shape = x32.shape[:-1] + (groups, c // groups)
+        xg = x32.reshape(shape)
+        axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = xg.var(axis=axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x32 = xg.reshape(x32.shape)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (x32 * scale + bias).astype(orig_dtype)
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> Conv -> (+time) -> GN -> SiLU -> Conv with skip."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        residual = x
+        h = GroupNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm(dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return h + residual
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over flattened spatial (or token) positions.
+
+    Self-attention when ``context`` is None, cross-attention otherwise.
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        ctx = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(b, tq, self.num_heads, self.head_dim)
+        k = k.reshape(b, tk, self.num_heads, self.head_dim)
+        v = v.reshape(b, tk, self.num_heads, self.head_dim)
+
+        out = attn_op.attention(q, k, v)
+        out = out.reshape(b, tq, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class TransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, all residual."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        attn_kw = dict(num_heads=self.num_heads, head_dim=self.head_dim, dtype=self.dtype)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(**attn_kw, name="attn1")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(**attn_kw, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> 1x1 proj_in -> N transformer blocks over HW tokens -> proj_out."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = TransformerBlock(
+                num_heads=self.num_heads,
+                head_dim=self.head_dim,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, context)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
