@@ -1,0 +1,313 @@
+"""Pallas TPU flash attention (forward + backward) for the diffusion UNet.
+
+Blockwise online-softmax attention tuned for the shapes this framework runs:
+self-attention over 4096/1024/256/64 latent tokens (512² SD-1.5) up to 16384
+(SDXL 1024²), and cross-attention against 77 text tokens. This is the
+TPU-native replacement for the reference's optional xFormers path
+(``generate_data.py:964-975``).
+
+Because DistDiff's energy guidance differentiates *through* the UNet
+(``generate_data.py:687-767``), the backward pass is also a Pallas kernel
+(split dq / dkv accumulation with the saved logsumexp), wired up via
+``jax.custom_vjp``.
+
+Shapes/layout: q ``[B, Tq, H, D]``, k/v ``[B, Tk, H, D]``; head_dim is
+zero-padded to the 128-lane width (free on the MXU — the contraction dim is
+128 wide regardless), sequence lengths padded to the block size and masked.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+NEG_INF = -1e30
+
+# Interpreter mode lets the kernels run (slowly) off-TPU, e.g. in the CPU
+# test suite; the dispatcher in ops.attention only selects Pallas on TPU, so
+# this is exercised explicitly by tests.
+INTERPRET = bool(os.environ.get("DISTDIFF_PALLAS_INTERPRET"))
+
+
+def _pallas_call(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=INTERPRET, **kwargs)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_blocks(tq: int, tk: int):
+    block_q = min(_round_up(tq, LANES), 512)
+    block_k = min(_round_up(tk, LANES), 512)
+    return block_q, block_k
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale, kv_len):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    block_k = k_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        m_s[...] = jnp.full(m_s.shape, NEG_INF, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_s[:, :1]  # [bq, 1] (all lanes replicated)
+    l_prev = l_s[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_next)
+    l_cur = jnp.sum(p, axis=1, keepdims=True)
+    alpha = jnp.exp(m_prev - m_next)
+    l_next = l_prev * alpha + l_cur
+
+    acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
+    l_s[...] = jnp.broadcast_to(l_next, l_s.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l_final = l_s[:, :1]
+        o_ref[0] = (acc_s[...] / l_final).astype(o_ref.dtype)
+        lse_ref[0] = m_s[...] + jnp.log(l_s[...])
+
+
+def _flash_fwd_3d(q, k, v, *, scale, kv_len, block_q, block_k):
+    """q [BH, Tqp, Dp], k/v [BH, Tkp, Dp] -> (o [BH,Tqp,Dp], lse [BH,Tqp,LANES])."""
+    bh, tqp, dp = q.shape
+    tkp = k.shape[1]
+    grid = (bh, tqp // block_q, tkp // block_k)
+    o, lse = _pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh, tqp, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------- backward
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_s,
+               *, scale, kv_len):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    block_k = k_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        dq_s[...] = jnp.zeros(dq_s.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    dq_s[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                dk_s, dv_s, *, scale, kv_len, q_len):
+    i = pl.program_id(2)  # q-block index (innermost so accumulators persist)
+    nq = pl.num_programs(2)
+    j = pl.program_id(1)
+    block_q = q_ref.shape[1]
+    block_k = k_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        dk_s[...] = jnp.zeros(dk_s.shape, jnp.float32)
+        dv_s[...] = jnp.zeros(dv_s.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    valid = jnp.logical_and(col < kv_len, row < q_len)
+    p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)  # [bq, bk]
+
+    do = do_ref[0]
+    dv_s[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    dk_s[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k):
+    bh, tqp, dp = q.shape
+    tkp = k.shape[1]
+    delta = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    delta = jnp.broadcast_to(delta, (bh, tqp, LANES))
+
+    dq = _pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len),
+        grid=(bh, tqp // block_q, tkp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = _pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len, q_len=q_len),
+        grid=(bh, tkp // block_k, tqp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tkp, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, tkp, dp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dp), jnp.float32),
+            pltpu.VMEM((block_k, dp), jnp.float32),
+        ],
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------------- public op
+
+def _prep(q, k, v):
+    """[B,T,H,D] -> padded [B*H, Tp, Dp] plus the padding bookkeeping."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    dp = max(_round_up(d, LANES), LANES)
+    block_q, block_k = _pick_blocks(tq, tk)
+    tqp = _round_up(tq, block_q)
+    tkp = _round_up(tk, block_k)
+
+    def to3d(x, tp):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
+        return jnp.pad(x, ((0, 0), (0, tp - x.shape[1]), (0, dp - d)))
+
+    return (to3d(q, tqp), to3d(k, tkp), to3d(v, tkp), block_q, block_k,
+            (b, h, tq, tk, d))
+
+
+def _unprep(x3d, meta):
+    b, h, tq, tk, d = meta
+    x = x3d[:, :tq, :d].reshape(b, h, tq, d)
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention(q, k, v):
+    out, _ = _flash_fwd_rule(q, k, v)
+    return out
+
+
+def _flash_fwd_rule(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    q3, k3, v3, bq, bk, meta = _prep(q, k, v)
+    o3, lse = _flash_fwd_3d(q3, k3, v3, scale=scale, kv_len=meta[3],
+                            block_q=bq, block_k=bk)
+    return _unprep(o3, meta), (q3, k3, v3, o3, lse, meta, bq, bk)
+
+
+def _flash_bwd_rule(res, g):
+    q3, k3, v3, o3, lse, meta, bq, bk = res
+    b, h, tq, tk, d = meta
+    scale = 1.0 / math.sqrt(d)
+    dp = q3.shape[-1]
+    g3 = jnp.transpose(g, (0, 2, 1, 3)).reshape(b * h, tq, d)
+    g3 = jnp.pad(g3, ((0, 0), (0, q3.shape[1] - tq), (0, dp - d)))
+    dq3, dk3, dv3 = _flash_bwd_3d(
+        q3, k3, v3, o3, lse, g3, scale=scale, kv_len=tk, q_len=tq,
+        block_q=bq, block_k=bk,
+    )
+    dq = _unprep(dq3, meta)
+    dk = _unprep(dk3, (b, h, tk, tk, d))
+    dv = _unprep(dv3, (b, h, tk, tk, d))
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -1,0 +1,48 @@
+"""Flash attention kernels vs the XLA reference, in interpreter mode on CPU.
+
+The same kernels are validated on real TPU hardware by `bench.py --check`.
+"""
+
+import os
+
+os.environ["DISTDIFF_PALLAS_INTERPRET"] = "1"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distdiff_tpu.ops.attention import xla_attention
+from distdiff_tpu.ops.flash import flash_attention
+
+
+@pytest.mark.parametrize(
+    "b,tq,tk,h,d",
+    [
+        (1, 128, 128, 2, 40),   # self-attention, unpadded head dim 40
+        (1, 200, 77, 2, 64),    # cross-attention, ragged q and kv lengths
+        (2, 64, 64, 1, 160),    # small spatial map, large head dim
+    ],
+)
+def test_flash_forward_matches_xla(b, tq, tk, h, d):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    out = flash_attention(q, k, v)
+    ref = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_grads_match_xla():
+    rng = np.random.RandomState(1)
+    b, tq, tk, h, d = 1, 160, 77, 2, 40
+    q = jnp.asarray(rng.randn(b, tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    w = jnp.asarray(rng.randn(b, tq, h, d), jnp.float32)
+
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention(*a) * w), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(xla_attention(*a) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4)
