@@ -1,0 +1,176 @@
+"""Model / pipeline configuration dataclasses.
+
+One typed config layer replaces the reference's ~60 argparse flags spread
+across entry points (``generate_data.py:164-639``); the CLIs in
+``distdiff_tpu.cli`` parse reference-compatible flags into these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """UNet2DCondition architecture (SD-1.x geometry by default)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # Per down-block: does it carry cross-attention transformers?
+    cross_attention: Tuple[bool, ...] = (True, True, True, False)
+    transformer_depth: int = 1
+    num_attention_heads: int = 8
+    cross_attention_dim: int = 768
+    time_embed_dim_mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * self.time_embed_dim_mult
+
+    @staticmethod
+    def sd15() -> "UNetConfig":
+        return UNetConfig()
+
+    @staticmethod
+    def sdxl_base() -> "UNetConfig":
+        # SDXL-base geometry: 3 blocks, transformer depth 2/10 handled via
+        # per-block depth; modeled with uniform depth for now.
+        return UNetConfig(
+            block_out_channels=(320, 640, 1280),
+            cross_attention=(False, True, True),
+            transformer_depth=2,
+            cross_attention_dim=2048,
+        )
+
+    @staticmethod
+    def tiny() -> "UNetConfig":
+        """CPU-runnable toy geometry for tests (BASELINE config 1)."""
+        return UNetConfig(
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            cross_attention=(True, False),
+            num_attention_heads=2,
+            cross_attention_dim=32,
+            dtype=jnp.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL architecture (SD-1.x geometry by default)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    scaling_factor: float = 0.18215
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @staticmethod
+    def sd15() -> "VAEConfig":
+        return VAEConfig()
+
+    @staticmethod
+    def tiny() -> "VAEConfig":
+        return VAEConfig(
+            block_out_channels=(16, 32),
+            layers_per_block=1,
+            dtype=jnp.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderConfig:
+    """CLIP text transformer (SD-1.x uses CLIP ViT-L/14's text tower)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    max_length: int = 77
+    # CLIP uses quick_gelu; newer OpenCLIP text towers use gelu.
+    activation: str = "quick_gelu"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @staticmethod
+    def sd15() -> "TextEncoderConfig":
+        return TextEncoderConfig()
+
+    @staticmethod
+    def tiny() -> "TextEncoderConfig":
+        return TextEncoderConfig(
+            vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+            max_length=16, dtype=jnp.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Everything needed to assemble the expansion pipeline."""
+
+    unet: UNetConfig = dataclasses.field(default_factory=UNetConfig.sd15)
+    vae: VAEConfig = dataclasses.field(default_factory=VAEConfig.sd15)
+    text_encoder: TextEncoderConfig = dataclasses.field(
+        default_factory=TextEncoderConfig.sd15
+    )
+    sample_size: int = 512  # pixel resolution
+    num_inference_steps: int = 50
+
+    @property
+    def vae_scale_factor(self) -> int:
+        # one spatial halving per non-final VAE block (8 for SD's 4 blocks)
+        return 2 ** (len(self.vae.block_out_channels) - 1)
+
+    @property
+    def latent_size(self) -> int:
+        return self.sample_size // self.vae_scale_factor
+
+    @staticmethod
+    def sd15() -> "PipelineConfig":
+        return PipelineConfig()
+
+    @staticmethod
+    def tiny(sample_size: int = 32) -> "PipelineConfig":
+        return PipelineConfig(
+            unet=UNetConfig.tiny(),
+            vae=VAEConfig.tiny(),
+            text_encoder=TextEncoderConfig.tiny(),
+            sample_size=sample_size,
+            num_inference_steps=10,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """DistDiff guidance hyperparameters (reference defaults from
+    ``scripts/exps/expand_diff.sh:3-24`` and ``generate_data.py`` flags)."""
+
+    guidance_type: str = "transform_guidance"  # or "direct_guidance", "none"
+    guidance_step: int = 20        # counted from the END of the step plan
+    guidance_period: int = 2
+    rho: float = 10.0              # guidance SGD learning rate
+    constraint_value: float = 0.2  # l-inf ball radius around the latents
+    gs: float = 1.0                # global-prototype energy weight
+    ls: float = 1.0                # local-prototype energy weight
+    K: int = 3                     # local prototypes per class
+    optimize_targets: Sequence[str] = ("global_prototype", "local_prototype")
+    # The reference L2-normalizes features in direct_guidance but NOT in
+    # transform_guidance (generate_data.py:705 vs :747) — kept as a flag.
+    normalize_features: Optional[bool] = None
+    # Guide-encoder input resolution (224 bicubic in the reference,
+    # generate_data.py:704; smaller for CPU-runnable test configs).
+    guide_input_size: int = 224
+
+    def wants_global(self) -> bool:
+        return "global_prototype" in self.optimize_targets
+
+    def wants_local(self) -> bool:
+        return "local_prototype" in self.optimize_targets

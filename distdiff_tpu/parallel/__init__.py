@@ -1,0 +1,28 @@
+from distdiff_tpu.parallel.driver import ExpansionDriver, save_png
+from distdiff_tpu.parallel.manifest import (
+    WorkUnit,
+    build_manifest,
+    chunk_units,
+    output_path,
+    split_range,
+)
+from distdiff_tpu.parallel.mesh import (
+    DATA_AXIS,
+    data_sharding,
+    make_mesh,
+    replicated,
+)
+
+__all__ = [
+    "ExpansionDriver",
+    "save_png",
+    "WorkUnit",
+    "build_manifest",
+    "chunk_units",
+    "output_path",
+    "split_range",
+    "DATA_AXIS",
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+]

@@ -1,0 +1,141 @@
+"""Sharded expansion driver: manifest -> device batches -> PNGs.
+
+Replaces the reference's per-GPU process fan-out + eager loop
+(``generate_data.py:1130-1245`` + ``scripts/exps/expand_diff.sh``): one
+process, a jitted expand program with the batch axis sharded over the mesh,
+per-work-unit PRNG keys (outputs independent of shard count), async PNG
+writeback on a thread pool overlapping the next device step.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from distdiff_tpu.parallel.manifest import WorkUnit, build_manifest, chunk_units
+from distdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+
+log = logging.getLogger("distdiff.driver")
+
+
+def save_png(path: str, image01: np.ndarray) -> None:
+    """image01: [H, W, 3] float in [0, 1] -> 8-bit PNG."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.clip(np.asarray(image01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+class ExpansionDriver:
+    """Runs guided expansion over a manifest of (image, image_i) work units.
+
+    ``expand_fn(params, latents, cond, uncond, targets, keys) -> images01``
+    is the pipeline's compiled hot path; the driver shards its batch axis.
+    """
+
+    def __init__(
+        self,
+        expand_fn: Callable,
+        params,
+        sd_dataset,                      # SDDataset
+        output_dir: str,
+        per_device_batch: int = 1,
+        seed: int = 0,
+        mesh=None,
+        writer_threads: int = 4,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.global_batch = per_device_batch * self.n_devices
+        self.sd = sd_dataset
+        self.output_dir = output_dir
+        self.seed = seed
+        self.base_key = jax.random.PRNGKey(seed)
+
+        shard = data_sharding(self.mesh)
+        repl = replicated(self.mesh)
+        self._expand = jax.jit(
+            expand_fn,
+            in_shardings=(repl, shard, shard, shard, shard, shard),
+            out_shardings=shard,
+        )
+        self._params = jax.device_put(params, repl)
+        self._writers = ThreadPoolExecutor(max_workers=writer_threads)
+
+    # ------------------------------------------------------------------
+    def _unit_key(self, unit: WorkUnit) -> jax.Array:
+        k = jax.random.fold_in(self.base_key, unit.dataset_index)
+        return jax.random.fold_in(k, unit.image_i)
+
+    def _batch_arrays(self, units: Sequence[WorkUnit]):
+        items = [self.sd[u.dataset_index] for u in units]
+        latents = np.stack([it.latent for it in items])
+        cond = np.stack([np.asarray(it.cond) for it in items])
+        uncond = np.stack([it.uncond for it in items])
+        targets = np.asarray([it.target for it in items], np.int32)
+        keys = jnp.stack([self._unit_key(u) for u in units])
+        return latents, cond, uncond, targets, keys
+
+    def run(
+        self,
+        num_images_per_prompt: int,
+        first_image_index: int = 0,
+        split: int = 0,
+        total_split: int = 1,
+        skip_existing: bool = True,
+        max_units: Optional[int] = None,
+        progress: Optional[Callable[[int, int], None]] = None,
+    ) -> dict:
+        class_per_item = [self.sd.class_names[l] for l in self.sd.labels]
+        units = build_manifest(
+            self.sd.image_paths, class_per_item, self.output_dir,
+            num_images_per_prompt, first_image_index, split, total_split,
+            skip_existing,
+        )
+        if max_units is not None:
+            units = units[:max_units]
+        chunks = chunk_units(units, self.global_batch)
+        log.info(
+            "expansion manifest: %d pending units in %d batches of %d "
+            "(%d devices x %d/device)",
+            len(units), len(chunks), self.global_batch, self.n_devices,
+            self.global_batch // self.n_devices,
+        )
+
+        t0 = time.time()
+        written = 0
+        pending = []
+        for bi, (chunk, mask) in enumerate(chunks):
+            latents, cond, uncond, targets, keys = self._batch_arrays(chunk)
+            images = self._expand(
+                self._params, latents, cond, uncond, targets, keys
+            )
+            images = np.asarray(images)  # device -> host
+            for u, m, img in zip(chunk, mask, images):
+                if not m:
+                    continue
+                pending.append(self._writers.submit(save_png, u.out_path, img))
+                written += 1
+            if progress is not None:
+                progress(bi + 1, len(chunks))
+        for f in pending:
+            f.result()
+        dt = time.time() - t0
+        stats = {
+            "units": len(units),
+            "written": written,
+            "seconds": dt,
+            "images_per_sec": written / dt if dt > 0 else 0.0,
+            "images_per_sec_per_device": (
+                written / dt / self.n_devices if dt > 0 else 0.0
+            ),
+        }
+        log.info("expansion done: %s", stats)
+        return stats

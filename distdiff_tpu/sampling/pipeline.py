@@ -1,0 +1,240 @@
+"""End-to-end guided expansion pipeline assembly.
+
+Glues scheduler + UNet + VAE + guide encoder + guidance into ONE jitted
+program per (batch shape): noise cached latents, denoise with CFG, splice
+DistDiff guidance at the statically-known window, decode to images. This is
+the XLA re-design of the reference's eager hot loop
+(``generate_data.py:1130-1245``): where the reference pays per-step Python
+dispatch + separate autograd graphs, here the full trajectory (guidance
+backprop included) is a single compiled computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from distdiff_tpu.config import GuidanceConfig, PipelineConfig
+from distdiff_tpu.guidance.optimize import (
+    GuidanceContext,
+    direct_guidance,
+    transform_guidance,
+)
+from distdiff_tpu.models import AutoencoderKL, CLIPTextEncoder, UNet2DCondition
+from distdiff_tpu.models.guide.factory import GuideModel
+from distdiff_tpu.sampling.sampler import (
+    SamplerConfig,
+    denoise_range,
+    img2img_init,
+    make_eps_fn,
+)
+from distdiff_tpu.schedulers import (
+    DDIMSchedule,
+    guidance_window,
+    img2img_start_index,
+    make_schedule,
+)
+
+GUIDE_INPUT_SIZE = 224
+
+
+@dataclasses.dataclass
+class ExpansionPipeline:
+    """Bundle of modules + params with compiled entry points."""
+
+    config: PipelineConfig
+    sampler_cfg: SamplerConfig
+    guidance_cfg: GuidanceConfig
+    sched: DDIMSchedule
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    text_encoder: CLIPTextEncoder
+    params: Dict[str, Any]           # {'unet', 'vae', 'text'}
+    guide: Optional[GuideModel] = None
+    global_protos: Optional[jnp.ndarray] = None
+    local_protos: Optional[jnp.ndarray] = None
+    strength: float = 0.5
+
+    # ---- construction ----
+    @staticmethod
+    def create(
+        config: PipelineConfig,
+        sampler_cfg: SamplerConfig = SamplerConfig(),
+        guidance_cfg: GuidanceConfig = GuidanceConfig(),
+        params: Optional[Dict[str, Any]] = None,
+        guide: Optional[GuideModel] = None,
+        global_protos=None,
+        local_protos=None,
+        strength: float = 0.5,
+        seed: int = 0,
+    ) -> "ExpansionPipeline":
+        sched = make_schedule(config.num_inference_steps)
+        unet = UNet2DCondition(config.unet)
+        vae = AutoencoderKL(config.vae)
+        text_encoder = CLIPTextEncoder(config.text_encoder)
+        if params is None:
+            params = init_params(config, unet, vae, text_encoder, seed)
+        return ExpansionPipeline(
+            config=config,
+            sampler_cfg=sampler_cfg,
+            guidance_cfg=guidance_cfg,
+            sched=sched,
+            unet=unet,
+            vae=vae,
+            text_encoder=text_encoder,
+            params=params,
+            guide=guide,
+            global_protos=(
+                jnp.asarray(global_protos) if global_protos is not None else None
+            ),
+            local_protos=(
+                jnp.asarray(local_protos) if local_protos is not None else None
+            ),
+            strength=strength,
+        )
+
+    # ---- raw building blocks (pure functions of explicit params) ----
+    def unet_apply(self, params, x, t, ctx):
+        return self.unet.apply({"params": params["unet"]}, x, t, ctx)
+
+    def eps_fn(self) -> Callable:
+        unet_apply = self.unet_apply
+        return make_eps_fn(
+            lambda p, x, t, ctx: unet_apply(p, x, t, ctx), self.sampler_cfg
+        )
+
+    def decode_latents(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+        """Latents -> images in [-1, 1] (fp32)."""
+        z = latents.astype(jnp.float32) / self.config.vae.scaling_factor
+        return self.vae.apply(
+            {"params": params["vae"]}, z, method=self.vae.decode
+        )
+
+    def encode_images(self, params, images: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """[-1,1] images -> scaled latents (the cached-latent convention,
+        ``dataloader.py:804-806``)."""
+        z = self.vae.apply(
+            {"params": params["vae"]}, images, rng, method=self.vae.encode
+        )
+        return z * self.config.vae.scaling_factor
+
+    def encode_text(self, params, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.text_encoder.apply({"params": params["text"]}, input_ids)
+
+    def guide_decode_fn(self, params, x0_latent: jnp.ndarray) -> jnp.ndarray:
+        """pred_x0 latents -> 224² guide-ready images.
+
+        Matches the reference exactly: VAE decode, NO denormalization
+        (``postprocess(do_denormalize=False)`` is a no-op), bicubic resize
+        to 224 (``generate_data.py:701-704``).
+        """
+        img = self.decode_latents(params, x0_latent)
+        b = img.shape[0]
+        size = self.guidance_cfg.guide_input_size
+        return jax.image.resize(img, (b, size, size, 3), method="bicubic")
+
+    def guide_encode_fn(self, params, images: jnp.ndarray) -> jnp.ndarray:
+        assert self.guide is not None, "guidance requires a guide model"
+        return self.guide.module.apply(
+            params["guide"], images, method=self.guide.module.encode_image
+        ).astype(jnp.float32)
+
+    def guidance_context(self) -> GuidanceContext:
+        return GuidanceContext(
+            sched=self.sched,
+            eps_fn=self.eps_fn(),
+            decode_fn=lambda p, z: self.guide_decode_fn(p, z),
+            encode_fn=lambda p, im: self.guide_encode_fn(p, im),
+            cfg=self.guidance_cfg,
+            global_protos=self.global_protos,
+            local_protos=self.local_protos,
+        )
+
+    def full_params(self) -> Dict[str, Any]:
+        p = dict(self.params)
+        if self.guide is not None:
+            p["guide"] = self.guide.variables
+        return p
+
+    # ---- the compiled hot path ----
+    def make_expand_fn(self) -> Callable:
+        """Build expand(params, image_latents, cond, uncond, targets, key)
+        -> final images [B, H, W, 3] in [0, 1]. jit once, reuse per batch."""
+        sched = self.sched
+        eps_fn = self.eps_fn()
+        gcfg = self.guidance_cfg
+        start = img2img_start_index(sched, self.strength)
+        n = sched.num_inference_steps
+        guided = gcfg.guidance_type in ("transform_guidance", "direct_guidance")
+        if guided:
+            g0, g1 = guidance_window(sched, gcfg.guidance_step, gcfg.guidance_period)
+            ctx = self.guidance_context()
+
+        decode = self.decode_latents
+
+        def expand(params, image_latents, cond, uncond, targets, key):
+            # key: single PRNG key, or per-sample [B] key array (the sharded
+            # driver passes per-work-unit keys so outputs don't depend on
+            # batch composition or shard count).
+            if key.ndim >= 1 and key.shape[0] == image_latents.shape[0]:
+                k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 0))(key)
+                k_guide = jax.vmap(lambda k: jax.random.fold_in(k, 1))(key)
+            else:
+                k_noise, k_guide = jax.random.split(key)
+            latents, _ = img2img_init(sched, image_latents, k_noise, self.strength)
+            if not guided:
+                latents = denoise_range(
+                    sched, eps_fn, params, latents, cond, uncond, start, n
+                )
+            elif gcfg.guidance_type == "transform_guidance":
+                # plain to the window, one affine-optimization at g0, then
+                # plain from g0 (the trigger step itself denoises normally
+                # after the update — generate_data.py:1202-1207).
+                latents = denoise_range(
+                    sched, eps_fn, params, latents, cond, uncond, start, g0
+                )
+                latents, _score = transform_guidance(
+                    ctx, params, latents, cond, uncond, targets, k_guide, g0
+                )
+                latents = denoise_range(
+                    sched, eps_fn, params, latents, cond, uncond, g0, n
+                )
+            else:  # direct_guidance advances [g0, g1) itself
+                latents = denoise_range(
+                    sched, eps_fn, params, latents, cond, uncond, start, g0
+                )
+                latents, _score = direct_guidance(
+                    ctx, params, latents, cond, uncond, targets, (g0, g1)
+                )
+                latents = denoise_range(
+                    sched, eps_fn, params, latents, cond, uncond, g1, n
+                )
+            img = decode(params, latents)
+            # final postprocess denormalizes (generate_data.py:1228-1230)
+            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        return expand
+
+
+def init_params(
+    config: PipelineConfig,
+    unet: UNet2DCondition,
+    vae: AutoencoderKL,
+    text_encoder: CLIPTextEncoder,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Random-init parameter trees (weight conversion fills real SD weights
+    via distdiff_tpu.weights.convert when checkpoints are available)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    ls = config.latent_size
+    lat = jnp.zeros((1, ls, ls, config.unet.in_channels), jnp.float32)
+    ctx = jnp.zeros((1, 8, config.unet.cross_attention_dim), jnp.float32)
+    img = jnp.zeros((1, config.sample_size, config.sample_size, 3), jnp.float32)
+    ids = jnp.zeros((1, config.text_encoder.max_length), jnp.int32)
+    unet_params = jax.jit(unet.init)(k1, lat, jnp.array([1]), ctx)["params"]
+    vae_params = jax.jit(vae.init)(k2, img)["params"]
+    text_params = jax.jit(text_encoder.init)(k3, ids)["params"]
+    return {"unet": unet_params, "vae": vae_params, "text": text_params}

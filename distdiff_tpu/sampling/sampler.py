@@ -1,0 +1,143 @@
+"""jit-compiled DDIM samplers with classifier-free guidance.
+
+This is the TPU re-design of the reference's eager per-step Python loop
+(``generate_data.py:1130-1245``): the whole denoise trajectory compiles to a
+single XLA program — a ``lax.fori_loop`` over plan indices with the CFG
+duplication batched into one UNet call — and the DistDiff guidance window is
+spliced in as *static* trace-time structure (the window indices are known
+before compilation, exactly like the reference computes them up front at
+``generate_data.py:1178-1180``).
+
+Layout note: latents are NHWC ``[B, h, w, 4]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from distdiff_tpu.schedulers import (
+    DDIMSchedule,
+    add_noise,
+    ddim_step,
+    guidance_window,
+    img2img_start_index,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    guidance_scale: float = 7.5
+    do_classifier_free_guidance: bool = True
+
+
+def make_eps_fn(unet_apply: Callable, cfg: SamplerConfig) -> Callable:
+    """Build eps(params, x, t, cond, uncond): one CFG-merged UNet evaluation.
+
+    Mirrors ``denoise_one_step``'s CFG mix (``generate_data.py:109-121``)
+    but batches the uncond/text pair through a single UNet call so the MXU
+    sees one 2B batch instead of two launches.
+    """
+
+    def eps_fn(params, x, t, cond, uncond):
+        if cfg.do_classifier_free_guidance:
+            x2 = jnp.concatenate([x, x], axis=0)
+            ctx = jnp.concatenate([uncond, cond], axis=0)
+            out = unet_apply(params, x2, t, ctx)
+            eps_u, eps_t = jnp.split(out, 2, axis=0)
+            return eps_u + cfg.guidance_scale * (eps_t - eps_u)
+        return unet_apply(params, x, t, cond)
+
+    return eps_fn
+
+
+def denoise_range(
+    sched: DDIMSchedule,
+    eps_fn: Callable,
+    params,
+    latents: jnp.ndarray,
+    cond: jnp.ndarray,
+    uncond: jnp.ndarray,
+    start: int,
+    stop: int,
+) -> jnp.ndarray:
+    """Run plan steps [start, stop) under one fori_loop. Static bounds."""
+    if stop <= start:
+        return latents
+
+    def body(i, x):
+        t = sched.timesteps[i]
+        e = eps_fn(params, x, t, cond, uncond)
+        x_prev, _ = ddim_step(sched, e, i, x)
+        return x_prev
+
+    return jax.lax.fori_loop(start, stop, body, latents)
+
+
+def sample(
+    sched: DDIMSchedule,
+    eps_fn: Callable,
+    params,
+    init_latents: jnp.ndarray,
+    cond: jnp.ndarray,
+    uncond: jnp.ndarray,
+    start_index: int = 0,
+    guided_segment: Optional[Tuple[int, int, Callable]] = None,
+) -> jnp.ndarray:
+    """Denoise from plan index ``start_index`` to the end.
+
+    ``guided_segment = (g0, g1, guide_fn)`` splices DistDiff guidance into
+    the trajectory: plain steps [start, g0), then
+    ``latents = guide_fn(params, latents, cond, uncond)`` which is
+    responsible for advancing the trajectory over [g0, g1), then plain steps
+    [g1, end). All of it traces into one XLA program.
+    """
+    n = sched.num_inference_steps
+    x = init_latents
+    if guided_segment is None:
+        return denoise_range(sched, eps_fn, params, x, cond, uncond, start_index, n)
+
+    g0, g1, guide_fn = guided_segment
+    g0 = max(g0, start_index)
+    x = denoise_range(sched, eps_fn, params, x, cond, uncond, start_index, g0)
+    x = guide_fn(params, x, cond, uncond)
+    x = denoise_range(sched, eps_fn, params, x, cond, uncond, g1, n)
+    return x
+
+
+def img2img_init(
+    sched: DDIMSchedule,
+    image_latents: jnp.ndarray,
+    key: jax.Array,
+    strength: float,
+) -> Tuple[jnp.ndarray, int]:
+    """SDEdit entry: noise cached VAE latents to the strength-indexed
+    timestep (``generate_data.py:1161-1176``). Returns (latents, start_idx).
+
+    ``key`` may be a single key (one draw for the whole batch) or a
+    per-sample [B] key array (noise independent of batch composition)."""
+    start = img2img_start_index(sched, strength)
+    t_enc = sched.timesteps[start]
+    if key.ndim >= 1 and key.shape[0] == image_latents.shape[0]:
+        noise = jax.vmap(
+            lambda k, x: jax.random.normal(k, x.shape, jnp.float32)
+        )(key, image_latents)
+    else:
+        noise = jax.random.normal(key, image_latents.shape, jnp.float32)
+    noisy = add_noise(sched, image_latents.astype(jnp.float32), noise, t_enc)
+    return noisy.astype(image_latents.dtype), start
+
+
+def text2img_init(
+    sched: DDIMSchedule,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    init_noise_sigma: float = 1.0,
+) -> Tuple[jnp.ndarray, int]:
+    """Pure-noise entry (``--text_to_img``, ``generate_data.py:1150-1158``;
+    the reference has a latent NameError there — we define the obvious
+    correct behavior)."""
+    return jax.random.normal(key, shape, jnp.float32) * init_noise_sigma, 0

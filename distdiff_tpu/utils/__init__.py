@@ -1,0 +1,5 @@
+from distdiff_tpu.utils.logger import Logger
+from distdiff_tpu.utils.meters import AverageMeter, Stopwatch
+from distdiff_tpu.utils.metrics import accuracy
+
+__all__ = ["Logger", "AverageMeter", "Stopwatch", "accuracy"]

@@ -1,0 +1,66 @@
+"""Orbax-backed checkpointing for trainer state and guide variables.
+
+Replaces the reference's ``torch.save(checkpoint.pth.tar)`` +
+``model_best.pth.tar`` copy scheme (``train.py:341-346``) with orbax; the
+on-disk *layout* (a ``checkpoint`` dir per run with a ``best`` alias) keeps
+the reference's directory conventions so ``parse_logs``-style tooling finds
+runs in the same places.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+
+
+def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is None:
+            return ckptr.restore(path)
+        return ckptr.restore(path, item=template)
+
+
+def restore_variables(path: str, template: Any) -> Any:
+    """Restore model variables ({'params': ..., 'batch_stats': ...})."""
+    restored = restore_pytree(path, template)
+    return jax.tree.map(lambda t, r: r, template, restored)
+
+
+def save_train_checkpoint(
+    out_dir: str,
+    state: Any,
+    epoch: int,
+    best_acc: float,
+    is_best: bool,
+) -> None:
+    """Epoch checkpoint + best alias (reference semantics, ``train.py:341-346``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {"state": state, "epoch": epoch, "best_acc": best_acc}
+    save_pytree(os.path.join(out_dir, "checkpoint"), payload)
+    if is_best:
+        best = os.path.join(out_dir, "model_best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(os.path.join(out_dir, "checkpoint"), best)
+
+
+def load_train_checkpoint(out_dir: str, state_template: Any) -> Optional[dict]:
+    path = os.path.join(out_dir, "checkpoint")
+    if not os.path.exists(path):
+        return None
+    return restore_pytree(
+        path, {"state": state_template, "epoch": 0, "best_acc": 0.0}
+    )

@@ -1,0 +1,123 @@
+"""Mesh/manifest/driver tests on the 8-virtual-device CPU mesh."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from distdiff_tpu.config import GuidanceConfig, PipelineConfig
+from distdiff_tpu.data import SDDataset
+from distdiff_tpu.models.guide import create_model
+from distdiff_tpu.parallel import (
+    ExpansionDriver,
+    build_manifest,
+    chunk_units,
+    make_mesh,
+    output_path,
+    split_range,
+)
+from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_split_range_matches_reference_scheme():
+    # contiguous chunks, remainder to the last split (generate_data.py:1001-1009)
+    assert split_range(10, 0, 4) == (0, 2)
+    assert split_range(10, 3, 4) == (6, 10)
+    assert split_range(7, 0, 1) == (0, 7)
+
+
+def test_manifest_resume_and_chunking(tmp_path):
+    paths = [f"/x/img_{i}.jpg" for i in range(4)]
+    classes = ["a", "a", "b", "b"]
+    out = str(tmp_path / "out")
+    # pre-create one output -> unit must be skipped
+    done = output_path(out, "a", paths[0], 0)
+    os.makedirs(os.path.dirname(done), exist_ok=True)
+    Image.new("RGB", (4, 4)).save(done)
+
+    units = build_manifest(paths, classes, out, num_images_per_prompt=2)
+    assert len(units) == 4 * 2 - 1
+    assert all(u.out_path != done for u in units)
+
+    chunks = chunk_units(units, global_batch=4)
+    assert len(chunks) == 2
+    assert sum(m for _, mask in chunks for m in mask) == 7
+    # padded tail repeats the last unit
+    tail_units, tail_mask = chunks[-1]
+    assert len(tail_units) == 4 and tail_mask.count(False) == 1
+
+
+def _make_tiny_setup(tmp_path, n_classes=2, imgs_per_class=3):
+    data_root = tmp_path / "data" / "imagenette2-320"
+    for split in ["train", "val"]:
+        for ci in range(n_classes):
+            for k in range(imgs_per_class if split == "train" else 1):
+                p = data_root / split / f"cls{ci}" / f"im{k}.png"
+                os.makedirs(p.parent, exist_ok=True)
+                Image.new("RGB", (40, 40), (40 * ci + 10 * k, 20, 20)).save(p)
+
+    cfg = PipelineConfig.tiny(sample_size=32)
+    guide = create_model("tiny_resnet", num_classes=n_classes, input_size=32)
+    rng = np.random.RandomState(0)
+    pipe = ExpansionPipeline.create(
+        cfg,
+        sampler_cfg=SamplerConfig(guidance_scale=2.0),
+        guidance_cfg=GuidanceConfig(
+            guidance_type="transform_guidance", guidance_step=4,
+            guidance_period=2, K=2, guide_input_size=32, rho=0.3,
+        ),
+        guide=guide,
+        global_protos=rng.randn(n_classes, guide.feature_dim).astype(np.float32),
+        local_protos=rng.randn(n_classes, 2, guide.feature_dim).astype(np.float32),
+    )
+    encode_text = lambda prompts: np.stack(
+        [np.full((8, 32), float(len(p) % 7), np.float32) for p in prompts]
+    )
+    params = pipe.full_params()
+    encode_images = jax.jit(lambda im: pipe.encode_images(params, im))
+    sd = SDDataset(
+        "imagenette2-320",
+        encode_text_fn=encode_text,
+        encode_images_fn=lambda im: np.asarray(encode_images(im)),
+        size=32,
+        data_root=str(tmp_path / "data"),
+        cache_root=str(tmp_path / "cache"),
+        encode_batch=4,
+    )
+    return pipe, params, sd
+
+
+@pytest.mark.slow
+def test_driver_end_to_end_sharded(tmp_path):
+    pipe, params, sd = _make_tiny_setup(tmp_path)
+    out_dir = str(tmp_path / "expanded")
+    driver = ExpansionDriver(
+        pipe.make_expand_fn(), params, sd, out_dir, per_device_batch=1, seed=3,
+    )
+    stats = driver.run(num_images_per_prompt=2)
+    assert stats["written"] == len(sd) * 2 == 12
+    # on-disk contract: {out}/{class}/{stem}_expand_{i}.png
+    assert os.path.exists(os.path.join(out_dir, "cls0", "im0_expand_0.png"))
+    assert os.path.exists(os.path.join(out_dir, "cls1", "im2_expand_1.png"))
+
+    # resume: nothing pending on a second run
+    stats2 = driver.run(num_images_per_prompt=2)
+    assert stats2["written"] == 0
+
+    # determinism across sharding layout: re-run split 0/2 into a fresh dir
+    out_dir2 = str(tmp_path / "expanded2")
+    driver2 = ExpansionDriver(
+        pipe.make_expand_fn(), params, sd, out_dir2, per_device_batch=1, seed=3,
+    )
+    driver2.run(num_images_per_prompt=2, split=0, total_split=2)
+    driver2.run(num_images_per_prompt=2, split=1, total_split=2)
+    a = np.asarray(Image.open(os.path.join(out_dir, "cls1", "im2_expand_1.png")))
+    b = np.asarray(Image.open(os.path.join(out_dir2, "cls1", "im2_expand_1.png")))
+    np.testing.assert_array_equal(a, b)
