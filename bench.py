@@ -1,0 +1,131 @@
+"""Benchmark: guided images/sec/chip for the DistDiff expansion hot path.
+
+Runs the REAL SD-1.5-geometry pipeline (UNet 860M + VAE + guide ResNet-50,
+random weights — throughput does not depend on weight values) on the
+attached TPU chip: DDIM-50 at 512², strength 0.5 (25 executed steps), CFG
+7.5, transform_guidance at the reference window (step 30/50, period 2) with
+gradient through 2 UNet forwards + VAE decode + ResNet-50 — the exact
+recipe pinned in BASELINE.md.
+
+Prints ONE JSON line:
+  {"metric": "guided images/sec/chip", "value": N, "unit": "img/s/chip",
+   "vs_baseline": N / 2.0}   (north star: >= 2 img/s/chip)
+
+``--preset tiny`` is the CPU-runnable smoke config; ``--check`` validates
+the flash-attention kernels on hardware first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/distdiff_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(preset: str, batch: int):
+    from distdiff_tpu.config import GuidanceConfig, PipelineConfig
+    from distdiff_tpu.models.guide import create_model
+    from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
+
+    if preset == "tiny":
+        config = PipelineConfig.tiny(sample_size=32)
+        guide = create_model("tiny_resnet", num_classes=4, input_size=32)
+        gcfg = GuidanceConfig(
+            guidance_type="transform_guidance", guidance_step=4,
+            guidance_period=2, K=3, guide_input_size=32,
+        )
+    else:
+        config = PipelineConfig.sd15()
+        guide = create_model("resnet50", num_classes=100, input_size=224)
+        gcfg = GuidanceConfig()  # reference defaults (expand_diff.sh)
+
+    rng = np.random.RandomState(0)
+    gp = rng.randn(guide.num_classes, guide.feature_dim).astype(np.float32)
+    lp = rng.randn(guide.num_classes, gcfg.K, guide.feature_dim).astype(np.float32)
+    pipe = ExpansionPipeline.create(
+        config,
+        sampler_cfg=SamplerConfig(guidance_scale=7.5),
+        guidance_cfg=gcfg,
+        guide=guide,
+        global_protos=gp,
+        local_protos=lp,
+        strength=0.5,
+    )
+    ls = config.latent_size
+    lat = jnp.asarray(rng.randn(batch, ls, ls, 4), jnp.float32) * 0.18
+    cond = jnp.asarray(
+        rng.randn(batch, config.text_encoder.max_length,
+                  config.unet.cross_attention_dim), jnp.float32)
+    uncond = jnp.asarray(
+        rng.randn(batch, config.text_encoder.max_length,
+                  config.unet.cross_attention_dim), jnp.float32)
+    targets = jnp.asarray(rng.randint(0, guide.num_classes, batch))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(batch))
+    return pipe, (pipe.full_params(), lat, cond, uncond, targets, keys)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", choices=["sd15", "tiny"], default="sd15")
+    p.add_argument("--batch", type=int, default=1, help="images per step")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--check", action="store_true",
+                   help="validate flash attention on this backend first")
+    args = p.parse_args()
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
+          file=sys.stderr)
+
+    if args.check:
+        from distdiff_tpu.ops.attention import xla_attention
+        from distdiff_tpu.ops.flash import flash_attention
+
+        r = np.random.RandomState(0)
+        q = jnp.asarray(r.randn(1, 1024, 8, 40), jnp.float32)
+        k = jnp.asarray(r.randn(1, 77, 8, 40), jnp.float32)
+        v = jnp.asarray(r.randn(1, 77, 8, 40), jnp.float32)
+        err = float(jnp.abs(flash_attention(q, k, v) - xla_attention(q, k, v)).max())
+        print(f"flash-attention check: max err {err:.2e}", file=sys.stderr)
+        assert err < 1e-2
+
+    pipe, bench_args = build(args.preset, args.batch)
+    expand = jax.jit(pipe.make_expand_fn())
+
+    t0 = time.time()
+    out = expand(*bench_args)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        out = expand(*bench_args)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+    n_dev = 1  # bench runs the whole batch on one chip
+    ips = args.batch / dt / n_dev
+    print(
+        f"steady-state: {dt:.3f}s/batch of {args.batch} "
+        f"({ips:.3f} img/s/chip)", file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "guided images/sec/chip (SD-1.5 DDIM-50 512^2, transform_guidance)"
+        if args.preset == "sd15" else "guided images/sec/chip (tiny preset)",
+        "value": round(ips, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / 2.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

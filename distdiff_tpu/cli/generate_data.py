@@ -1,0 +1,258 @@
+"""Guided dataset expansion CLI — the reference's ``generate_data.py`` role
+with its live flag vocabulary (``generate_data.py:164-639``; the ~40
+vestigial DreamBooth flags are dropped deliberately).
+
+Pipeline: load SD weights (converted diffusers checkpoint; random init with
+a loud warning otherwise) -> SDDataset with text-embed + VAE-latent caching
+-> guide model + prototypes (extracted and cached) -> sharded expansion
+driver writing ``{output_dir}/{classname}/{stem}_expand_{i}.png``.
+
+Usage (reference recipe, ``scripts/exps/expand_diff.sh``):
+  python -m distdiff_tpu.cli.generate_data -d caltech-101 -a resnet50 \
+      --encoder_weight_path checkpoint/.../model_best \
+      --guidance_type transform_guidance --strength 0.5 --K 3 --rho 10.0 \
+      --guidance_step 20 --guidance_period 2 --constraint_value 0.2 \
+      --num_images_per_prompt 5 --output_dir data/caltech-101_expansion/...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+from distdiff_tpu.cli.common import add_dataset_args, set_seed, setup_logging
+
+log = logging.getLogger("distdiff.generate")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="DistDiff-style guided expansion")
+    add_dataset_args(p)
+    p.add_argument("--pretrained_model_name_or_path", type=str,
+                   default="CompVis/stable-diffusion-v1-4",
+                   help="checkpoint id used for cache paths; pass a local "
+                        "diffusers dir via --sd_checkpoint for real weights")
+    p.add_argument("--sd_checkpoint", type=str, default=None,
+                   help="local diffusers-format SD checkpoint dir to convert")
+    p.add_argument("--params_path", type=str, default=None,
+                   help="previously converted/saved params (orbax dir)")
+    p.add_argument("--arch", "-a", type=str, default="open_clip_vit_b32")
+    p.add_argument("--encoder_weight_path", type=str, default=None)
+    p.add_argument("--guidance_type", type=str, default="transform_guidance",
+                   choices=["transform_guidance", "direct_guidance", "none"])
+    p.add_argument("--constraint_value", type=float, default=0.2)
+    p.add_argument("--steps", type=int, default=50,
+                   help="DDIM steps (the reference parses but hardcodes 50, "
+                        "generate_data.py:217,1043 — here the flag is live)")
+    p.add_argument("--K", type=int, default=3)
+    p.add_argument("--guidance_step", type=int, default=20)
+    p.add_argument("--guidance_period", type=int, default=2)
+    p.add_argument("--total_split", type=int, default=1)
+    p.add_argument("--split", type=int, default=0)
+    p.add_argument("--num_images_per_prompt", type=int, default=5)
+    p.add_argument("--first_image_index", type=int, default=0)
+    p.add_argument("--optimize_targets", type=str,
+                   default="global_prototype-local_prototype",
+                   help="'-'-separated subset of global_prototype,local_prototype")
+    p.add_argument("--rho", type=float, default=10.0)
+    p.add_argument("--gs", type=float, default=1.0)
+    p.add_argument("--ls", type=float, default=1.0)
+    p.add_argument("--strength", type=float, default=0.5)
+    p.add_argument("--language_enhance", "-le", action="store_true")
+    p.add_argument("--text_to_img", action="store_true")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_batch_size", type=int, default=1,
+                   help="per-device batch size")
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--do_classifier_free_guidance", type=bool, default=True)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--bpe_path", type=str, default=None,
+                   help="CLIP BPE merges file for real tokenization")
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU-runnable toy config (BASELINE config 1)")
+    p.add_argument("--max_units", type=int, default=None,
+                   help="cap pending work units (smoke runs)")
+    return p.parse_args(argv)
+
+
+def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
+    import jax
+
+    from distdiff_tpu.config import GuidanceConfig, PipelineConfig
+    from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
+
+    if args.tiny:
+        config = PipelineConfig.tiny(sample_size=min(args.resolution, 64))
+        guide_input = config.sample_size
+    else:
+        config = PipelineConfig(
+            sample_size=args.resolution, num_inference_steps=args.steps
+        )
+        guide_input = 224
+
+    params = None
+    if args.params_path:
+        from distdiff_tpu.utils import checkpoints as ckpt
+
+        params = ckpt.restore_pytree(args.params_path)
+    elif args.sd_checkpoint:
+        from distdiff_tpu.weights.convert import convert_sd_checkpoint
+
+        params = convert_sd_checkpoint(args.sd_checkpoint)
+        log.info("converted SD checkpoint from %s", args.sd_checkpoint)
+    else:
+        log.warning(
+            "NO SD WEIGHTS PROVIDED — using random init. Pass --sd_checkpoint "
+            "(local diffusers dir) or --params_path for real generation."
+        )
+
+    gcfg = GuidanceConfig(
+        guidance_type=args.guidance_type,
+        guidance_step=args.guidance_step,
+        guidance_period=args.guidance_period,
+        rho=args.rho,
+        constraint_value=args.constraint_value,
+        gs=args.gs,
+        ls=args.ls,
+        K=args.K,
+        optimize_targets=tuple(args.optimize_targets.split("-")),
+        guide_input_size=guide_input,
+    )
+    return ExpansionPipeline.create(
+        config,
+        sampler_cfg=SamplerConfig(
+            guidance_scale=args.guidance_scale,
+            do_classifier_free_guidance=args.do_classifier_free_guidance,
+        ),
+        guidance_cfg=gcfg,
+        params=params,
+        guide=guide,
+        global_protos=global_protos,
+        local_protos=local_protos,
+        strength=args.strength,
+        seed=args.seed,
+    )
+
+
+def prepare_guide_and_prototypes(args, pipe, sd):
+    """Guide model + cached prototype extraction (reference path convention
+    ``save/prototypes/{arch}/{dataset}/class_wise_prototype_K{K}.npz``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distdiff_tpu.data.datasets import BatchLoader, ImageListDataset
+    from distdiff_tpu.data.transforms import prototype_transform
+    from distdiff_tpu.models.guide import create_model
+    from distdiff_tpu.prototypes import (
+        build_prototypes,
+        load_prototypes,
+        normalize_prototypes,
+        save_prototypes,
+    )
+
+    num_classes = len(sd.class_names)
+    arch = args.arch if not args.tiny else "tiny_resnet"
+    guide = create_model(
+        arch, num_classes=num_classes, weight_path=args.encoder_weight_path,
+        input_size=pipe.guidance_cfg.guide_input_size,
+    )
+
+    proto_path = os.path.join(
+        "save/prototypes", arch, args.dataset, f"class_wise_prototype_K{args.K}.npz"
+    )
+    if os.path.exists(proto_path):
+        gp, lp = load_prototypes(proto_path)
+        log.info("loaded prototypes from %s", proto_path)
+    else:
+        size = pipe.guidance_cfg.guide_input_size
+        ds = ImageListDataset(sd.image_paths, sd.labels, prototype_transform(size))
+        loader = BatchLoader(ds, batch_size=16, num_threads=4)
+        encode = jax.jit(lambda x: guide.encode_image(x))
+        # padded tail rows are excluded via the mask
+        feats, labels = [], []
+        for imgs, tgt, mask in loader:
+            f = np.asarray(encode(jnp.asarray(imgs)), np.float32)
+            f = f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+            feats.append(f[mask])
+            labels.append(tgt[mask])
+        feats = np.concatenate(feats, 0)
+        labels = np.concatenate(labels, 0)
+        gp, lp = build_prototypes(feats, labels, num_classes, k=args.K)
+        save_prototypes(proto_path, gp, lp)
+        gp, lp = normalize_prototypes(gp, lp)
+        log.info("extracted prototypes -> %s", proto_path)
+    return guide, gp, lp
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_logging()
+    set_seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from distdiff_tpu.data import SDDataset
+    from distdiff_tpu.models import load_tokenizer
+    from distdiff_tpu.parallel import ExpansionDriver
+
+    # bootstrap pipeline (no guide yet) for text/vae encoders
+    pipe = build_pipeline(args)
+    params = pipe.params
+    tokenizer = load_tokenizer(
+        args.bpe_path,
+        max_length=pipe.config.text_encoder.max_length,
+        vocab_size=pipe.config.text_encoder.vocab_size,
+    )
+    encode_text = jax.jit(lambda ids: pipe.encode_text(params, ids))
+    encode_images = jax.jit(lambda im: pipe.encode_images(params, im))
+
+    sd = SDDataset(
+        args.dataset,
+        encode_text_fn=lambda prompts: np.asarray(
+            encode_text(jnp.asarray(tokenizer(list(prompts))))
+        ),
+        encode_images_fn=lambda im: np.asarray(encode_images(jnp.asarray(im))),
+        model_name=args.pretrained_model_name_or_path,
+        size=pipe.config.sample_size,
+        language_enhance=args.language_enhance,
+        data_root=args.data_root,
+    )
+
+    guide = gp = lp = None
+    if args.guidance_type != "none":
+        guide, gp, lp = prepare_guide_and_prototypes(args, pipe, sd)
+        # rebuild the pipeline bundle with guidance attached
+        pipe.guide = guide
+        pipe.global_protos = jnp.asarray(gp)
+        pipe.local_protos = jnp.asarray(lp)
+
+    driver = ExpansionDriver(
+        pipe.make_expand_fn(),
+        pipe.full_params(),
+        sd,
+        args.output_dir,
+        per_device_batch=args.train_batch_size,
+        seed=args.seed,
+    )
+    stats = driver.run(
+        num_images_per_prompt=args.num_images_per_prompt,
+        first_image_index=args.first_image_index,
+        split=args.split,
+        total_split=args.total_split,
+        max_units=args.max_units,
+    )
+    print(
+        f"expansion finished: {stats['written']} images in "
+        f"{stats['seconds']:.1f}s "
+        f"({stats['images_per_sec_per_device']:.3f} img/s/chip)"
+    )
+    return stats
+
+
+if __name__ == "__main__":
+    main()

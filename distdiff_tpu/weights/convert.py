@@ -1,0 +1,221 @@
+"""HF Stable-Diffusion checkpoint -> distdiff_tpu parameter trees.
+
+The reference loads SD components straight from HF diffusers
+(``generate_data.py:863-922``). We are a from-scratch implementation with a
+different (NHWC / flax) layout, so real weights arrive through this
+converter: point it at a local diffusers-format checkpoint directory
+(``unet/diffusion_pytorch_model.safetensors``, ``vae/...``,
+``text_encoder/model.safetensors``) and it emits the ``{'unet','vae','text'}``
+tree ``ExpansionPipeline`` consumes. No network access is assumed.
+
+Layout transforms: conv OIHW->HWIO, linear [out,in]->[in,out], norm
+weight->scale. Naming transforms are pure string rewrites, unit-tested
+against ``jax.eval_shape`` trees of the real SD-1.5 geometry.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------- key maps
+
+def _leaf(key: str, is_conv: bool, is_norm: bool) -> str:
+    if key == "weight":
+        return "scale" if is_norm else "kernel"
+    return key  # bias
+
+
+def map_unet_key(key: str) -> Optional[str]:
+    """diffusers UNet2DConditionModel name -> our UNet2DCondition path."""
+    k = key
+    k = re.sub(r"^time_embedding\.linear_(\d)\.", r"time_embedding/linear_\1/", k)
+    k = re.sub(r"^conv_in\.", "conv_in/", k)
+    k = re.sub(r"^conv_norm_out\.", "conv_norm_out/", k)
+    k = re.sub(r"^conv_out\.", "conv_out/", k)
+    k = re.sub(r"^down_blocks\.(\d+)\.resnets\.(\d+)\.", r"down_\1_res_\2/", k)
+    k = re.sub(r"^down_blocks\.(\d+)\.attentions\.(\d+)\.", r"down_\1_attn_\2/", k)
+    k = re.sub(r"^down_blocks\.(\d+)\.downsamplers\.0\.conv\.", r"down_\1_downsample/conv/", k)
+    k = re.sub(r"^up_blocks\.(\d+)\.resnets\.(\d+)\.", r"up_\1_res_\2/", k)
+    k = re.sub(r"^up_blocks\.(\d+)\.attentions\.(\d+)\.", r"up_\1_attn_\2/", k)
+    k = re.sub(r"^up_blocks\.(\d+)\.upsamplers\.0\.conv\.", r"up_\1_upsample/conv/", k)
+    k = re.sub(r"^mid_block\.resnets\.(\d+)\.", r"mid_res_\1/", k)
+    k = re.sub(r"^mid_block\.attentions\.0\.", "mid_attn/", k)
+    # inside attention (SpatialTransformer)
+    k = re.sub(r"transformer_blocks\.(\d+)\.", r"transformer_blocks_\1/", k)
+    k = k.replace("attn1.", "attn1/").replace("attn2.", "attn2/")
+    k = k.replace("to_out.0.", "to_out/")
+    k = k.replace("ff.net.0.proj.", "ff/net_0/proj/")
+    k = k.replace("ff.net.2.", "ff/net_2/")
+    k = k.replace("proj_in.", "proj_in/").replace("proj_out.", "proj_out/")
+    k = re.sub(r"norm(\d)\.", r"norm\1/", k)
+    k = k.replace("norm.", "norm/")
+    k = k.replace("time_emb_proj.", "time_emb_proj/")
+    k = k.replace("conv_shortcut.", "conv_shortcut/")
+    k = re.sub(r"conv(\d)\.", r"conv\1/", k)
+    k = k.replace("to_q.", "to_q/").replace("to_k.", "to_k/").replace("to_v.", "to_v/")
+    if "." in k:
+        return None
+    return k
+
+
+def map_vae_key(key: str) -> Optional[str]:
+    """diffusers AutoencoderKL name -> our AutoencoderKL path."""
+    k = key
+    k = re.sub(r"^quant_conv\.", "quant_conv/", k)
+    k = re.sub(r"^post_quant_conv\.", "post_quant_conv/", k)
+    for side in ("encoder", "decoder"):
+        k = re.sub(rf"^{side}\.conv_in\.", f"{side}/conv_in/", k)
+        k = re.sub(rf"^{side}\.conv_norm_out\.", f"{side}/conv_norm_out/", k)
+        k = re.sub(rf"^{side}\.conv_out\.", f"{side}/conv_out/", k)
+        k = re.sub(rf"^{side}\.mid_block\.resnets\.(\d+)\.", rf"{side}/mid_res_\1/", k)
+        k = re.sub(rf"^{side}\.mid_block\.attentions\.0\.", f"{side}/mid_attn/", k)
+    k = re.sub(r"^encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.", r"encoder/down_\1_res_\2/", k)
+    k = re.sub(r"^encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.", r"encoder/down_\1_downsample/conv/", k)
+    k = re.sub(r"^decoder\.up_blocks\.(\d+)\.resnets\.(\d+)\.", r"decoder/up_\1_res_\2/", k)
+    k = re.sub(r"^decoder\.up_blocks\.(\d+)\.upsamplers\.0\.conv\.", r"decoder/up_\1_upsample/conv/", k)
+    k = k.replace("group_norm.", "group_norm/")
+    k = k.replace("to_out.0.", "to_out/")
+    k = k.replace("to_q.", "to_q/").replace("to_k.", "to_k/").replace("to_v.", "to_v/")
+    k = re.sub(r"norm(\d)\.", r"norm\1/", k)
+    k = k.replace("conv_shortcut.", "conv_shortcut/")
+    k = re.sub(r"conv(\d)\.", r"conv\1/", k)
+    if "." in k:
+        return None
+    return k
+
+
+def map_text_key(key: str) -> Optional[str]:
+    """transformers CLIPTextModel name -> our CLIPTextEncoder path."""
+    k = key
+    k = k.replace("text_model.", "")
+    if k == "embeddings.token_embedding.weight":
+        return "token_embedding/embedding"
+    if k == "embeddings.position_embedding.weight":
+        return "position_embedding"
+    k = re.sub(r"^encoder\.layers\.(\d+)\.", r"layers_\1/", k)
+    k = k.replace("self_attn.", "").replace("mlp.", "")
+    k = re.sub(r"(q_proj|k_proj|v_proj|out_proj|fc1|fc2)\.", r"\1/", k)
+    k = re.sub(r"layer_norm(\d)\.", r"layer_norm\1/", k)
+    k = k.replace("final_layer_norm.", "final_layer_norm/")
+    if "." in k:
+        return None
+    return k
+
+
+_NORM_HINTS = ("norm", "layer_norm", "group_norm")
+
+
+def transform_tensor(our_path: str, arr: np.ndarray) -> Tuple[str, np.ndarray]:
+    """Apply layout transforms + weight->kernel/scale renaming."""
+    parts = our_path.split("/")
+    leafname = parts[-1]
+    parent = parts[-2] if len(parts) > 1 else ""
+    if leafname == "weight":
+        is_norm = any(h in parent for h in _NORM_HINTS) or arr.ndim == 1
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            return "/".join(parts[:-1] + ["kernel"]), arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:
+            # linear [out, in] -> [in, out]; VAE attention projections are
+            # Dense in our model even where diffusers uses 2D weights.
+            return "/".join(parts[:-1] + ["kernel"]), arr.T
+        if is_norm:
+            return "/".join(parts[:-1] + ["scale"]), arr
+        return "/".join(parts[:-1] + ["scale"]), arr
+    return our_path, arr
+
+
+def convert_state_dict(
+    state: Dict[str, np.ndarray], mapper
+) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    skipped = []
+    for key, arr in state.items():
+        mapped = mapper(key)
+        if mapped is None:
+            skipped.append(key)
+            continue
+        path, arr = transform_tensor(mapped, np.asarray(arr))
+        out[path] = arr
+    if skipped:
+        import logging
+
+        logging.getLogger("distdiff.convert").warning(
+            "skipped %d unmapped keys (first: %s)", len(skipped), skipped[:3]
+        )
+    return out
+
+
+def unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, arr in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    return load_file(path)
+
+
+def _find_weights(component_dir: str) -> str:
+    for name in (
+        "diffusion_pytorch_model.safetensors",
+        "model.safetensors",
+        "diffusion_pytorch_model.fp16.safetensors",
+        "model.fp16.safetensors",
+    ):
+        p = os.path.join(component_dir, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"no safetensors weights under {component_dir}")
+
+
+def convert_sd_checkpoint(checkpoint_dir: str) -> Dict[str, Any]:
+    """Convert a local diffusers-layout SD checkpoint directory."""
+    unet = convert_state_dict(
+        _load_safetensors(_find_weights(os.path.join(checkpoint_dir, "unet"))),
+        map_unet_key,
+    )
+    vae = convert_state_dict(
+        _load_safetensors(_find_weights(os.path.join(checkpoint_dir, "vae"))),
+        map_vae_key,
+    )
+    text = convert_state_dict(
+        _load_safetensors(
+            _find_weights(os.path.join(checkpoint_dir, "text_encoder"))
+        ),
+        map_text_key,
+    )
+    return {
+        "unet": unflatten(unet),
+        "vae": unflatten(vae),
+        "text": unflatten(text),
+    }
+
+
+def validate_against_template(converted: Dict[str, Any], template: Dict[str, Any]):
+    """Check converted tree covers the template exactly (paths + shapes).
+    Returns (missing, extra, mismatched) path lists."""
+    import jax
+
+    flat_c = {"/".join(str(k.key) for k in path): v
+              for path, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    flat_t = {"/".join(str(k.key) for k in path): v
+              for path, v in jax.tree_util.tree_flatten_with_path(template)[0]}
+    missing = [k for k in flat_t if k not in flat_c]
+    extra = [k for k in flat_c if k not in flat_t]
+    mismatched = [
+        k for k in flat_t
+        if k in flat_c and tuple(np.shape(flat_c[k])) != tuple(np.shape(flat_t[k]))
+    ]
+    return missing, extra, mismatched

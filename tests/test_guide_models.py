@@ -81,8 +81,8 @@ def test_torch_state_dict_roundtrip(tmp_path):
     for key, val in stats.items():
         new = rng.rand(*val.shape).astype(np.float32)
         expected[("batch_stats", key)] = new
-        leaf = "running_mean" if key.endswith("/mean") else "running_var"
-        tkey = ours_to_torch(key.rsplit("/", 1)[0]) + "." + leaf
+        tkey = ours_to_torch(key)
+        tkey = tkey.replace(".mean", ".running_mean").replace(".var", ".running_var")
         state["module." + tkey] = torch.tensor(new)
 
     path = str(tmp_path / "checkpoint.pth.tar")
