@@ -37,14 +37,16 @@ def build(preset: str, batch: int):
 
     if preset == "tiny":
         config = PipelineConfig.tiny(sample_size=32)
-        guide = create_model("tiny_resnet", num_classes=4, input_size=32)
+        guide = create_model("tiny_resnet", num_classes=4, input_size=32,
+                             lazy_init=True)
         gcfg = GuidanceConfig(
             guidance_type="transform_guidance", guidance_step=4,
             guidance_period=2, K=3, guide_input_size=32,
         )
     else:
         config = PipelineConfig.sd15()
-        guide = create_model("resnet50", num_classes=100, input_size=224)
+        guide = create_model("resnet50", num_classes=100, input_size=224,
+                             lazy_init=True)
         gcfg = GuidanceConfig()  # reference defaults (expand_diff.sh)
 
     rng = np.random.RandomState(0)
@@ -58,6 +60,7 @@ def build(preset: str, batch: int):
         global_protos=gp,
         local_protos=lp,
         strength=0.5,
+        lazy_params=True,
     )
     ls = config.latent_size
     lat = jnp.asarray(rng.randn(batch, ls, ls, 4), jnp.float32) * 0.18

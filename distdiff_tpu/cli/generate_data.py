@@ -232,7 +232,7 @@ def main(argv=None):
         pipe.local_protos = jnp.asarray(lp)
 
     driver = ExpansionDriver(
-        pipe.make_expand_fn(),
+        pipe.make_expand_fn(text_to_img=args.text_to_img),
         pipe.full_params(),
         sd,
         args.output_dir,

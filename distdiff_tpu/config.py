@@ -98,6 +98,10 @@ class TextEncoderConfig:
     max_length: int = 77
     # CLIP uses quick_gelu; newer OpenCLIP text towers use gelu.
     activation: str = "quick_gelu"
+    # When set, the encoder also exposes a pooled+projected embedding of
+    # this dimension (the CLIP contrastive space used by zero-shot heads);
+    # SD's conditioning path uses only the last hidden state.
+    embed_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @staticmethod

@@ -72,8 +72,14 @@ class GuideModel:
         return out
 
 
-def _init(module, input_size: int) -> Any:
+def _init(module, input_size: int, lazy: bool = False) -> Any:
     dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if lazy:
+        # eval_shape + constant fill: no init program to compile. BatchNorm
+        # variance must be positive — fill everything with a small positive
+        # constant. Bench/compile-check use only.
+        shapes = jax.eval_shape(module.init, jax.random.PRNGKey(0), dummy)
+        return jax.tree.map(lambda s: jnp.full(s.shape, 0.05, s.dtype), shapes)
     return jax.jit(module.init)(jax.random.PRNGKey(0), dummy)
 
 
@@ -85,6 +91,7 @@ def create_model(
     weight_path: Optional[str] = None,
     input_size: int = 224,
     class_text_features: Optional[np.ndarray] = None,
+    lazy_init: bool = False,
 ) -> GuideModel:
     """Build a guide model. ``pretrained`` ImageNet initialisation requires a
     converted checkpoint on disk (no network egress); pass ``weight_path``."""
@@ -110,7 +117,7 @@ def create_model(
     else:
         raise ValueError(f"unknown arch {arch!r}; expected one of {ARCHS}")
 
-    variables = _init(module, input_size)
+    variables = _init(module, input_size, lazy=lazy_init)
     gm = GuideModel(
         arch=arch,
         module=module,
@@ -124,6 +131,42 @@ def create_model(
     if weight_path:
         load_weights(gm, weight_path)
     return gm
+
+
+def build_zero_shot_text_features(
+    classnames: Sequence[str],
+    template: str = "a photo of a {}.",
+    bpe_path: Optional[str] = None,
+    config=None,
+    variables=None,
+) -> np.ndarray:
+    """Encode class-template prompts into the CLIP contrastive space — the
+    zero-shot head construction of the reference's ``wrap_clip_forward``
+    (``model_utils.py:14-27``). With no pretrained text tower this produces
+    a mechanically-correct random-feature head (tests/smoke); pass converted
+    OpenCLIP ``variables`` for a real head."""
+    import jax
+    import jax.numpy as jnp
+
+    from distdiff_tpu.config import TextEncoderConfig
+    from distdiff_tpu.models.text_encoder import CLIPTextEncoder
+    from distdiff_tpu.models.tokenizer import load_tokenizer
+
+    if config is None:
+        # CLIP ViT-B/32 text tower geometry
+        config = TextEncoderConfig(
+            hidden_size=512, num_layers=12, num_heads=8, embed_dim=512,
+        )
+    te = CLIPTextEncoder(config)
+    tok = load_tokenizer(bpe_path, max_length=config.max_length,
+                         vocab_size=config.vocab_size)
+    ids = jnp.asarray(tok([template.format(c) for c in classnames]))
+    if variables is None:
+        variables = jax.jit(te.init)(jax.random.PRNGKey(0), ids[:1])
+    feats = jax.jit(
+        lambda v, i: te.apply(v, i, method=te.encode_pooled)
+    )(variables, ids)
+    return np.asarray(feats, np.float32)
 
 
 # ------------------------------------------------------------- checkpoints

@@ -57,21 +57,51 @@ class CLIPTextBlock(nn.Module):
 class CLIPTextEncoder(nn.Module):
     config: TextEncoderConfig
 
-    @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         cfg = self.config
-        b, t = input_ids.shape
-        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
-                       name="token_embedding")(input_ids)
-        pos = self.param(
+        self.token_embedding = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+            name="token_embedding",
+        )
+        self.position_embedding = self.param(
             "position_embedding",
             nn.initializers.normal(0.01),
             (cfg.max_length, cfg.hidden_size),
             jnp.float32,
         )
-        x = tok + pos[None, :t, :].astype(cfg.dtype)
+        self.blocks = [
+            CLIPTextBlock(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)
+        ]
+        self.final_layer_norm = nn.LayerNorm(dtype=cfg.dtype,
+                                             name="final_layer_norm")
+        if cfg.embed_dim is not None:
+            self.text_projection = self.param(
+                "text_projection", nn.initializers.normal(0.02),
+                (cfg.hidden_size, cfg.embed_dim), jnp.float32,
+            )
+
+    def hidden_states(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        b, t = input_ids.shape
+        tok = self.token_embedding(input_ids)
+        x = tok + self.position_embedding[None, :t, :].astype(cfg.dtype)
         causal = jnp.tril(jnp.ones((t, t), bool))
-        for i in range(cfg.num_layers):
-            x = CLIPTextBlock(cfg, name=f"layers_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="final_layer_norm")(x)
-        return x.astype(jnp.float32)
+        for blk in self.blocks:
+            x = blk(x, causal)
+        return self.final_layer_norm(x).astype(jnp.float32)
+
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Last hidden state [B, T, D] — the SD conditioning path."""
+        return self.hidden_states(input_ids)
+
+    def encode_pooled(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Pooled + projected embedding [B, embed_dim]: hidden state at the
+        highest-id token (eot in CLIP vocab) through the text projection —
+        the contrastive space zero-shot heads live in."""
+        assert self.config.embed_dim is not None, (
+            "encode_pooled requires TextEncoderConfig.embed_dim"
+        )
+        h = self.hidden_states(input_ids)
+        eot = jnp.argmax(input_ids, axis=-1)
+        pooled = h[jnp.arange(h.shape[0]), eot]
+        return pooled @ self.text_projection

@@ -70,13 +70,17 @@ class ExpansionPipeline:
         local_protos=None,
         strength: float = 0.5,
         seed: int = 0,
+        lazy_params: bool = False,
     ) -> "ExpansionPipeline":
         sched = make_schedule(config.num_inference_steps)
         unet = UNet2DCondition(config.unet)
         vae = AutoencoderKL(config.vae)
         text_encoder = CLIPTextEncoder(config.text_encoder)
         if params is None:
-            params = init_params(config, unet, vae, text_encoder, seed)
+            if lazy_params:
+                params = init_params_lazy(config, unet, vae, text_encoder)
+            else:
+                params = init_params(config, unet, vae, text_encoder, seed)
         return ExpansionPipeline(
             config=config,
             sampler_cfg=sampler_cfg,
@@ -160,13 +164,19 @@ class ExpansionPipeline:
         return p
 
     # ---- the compiled hot path ----
-    def make_expand_fn(self) -> Callable:
+    def make_expand_fn(self, text_to_img: bool = False) -> Callable:
         """Build expand(params, image_latents, cond, uncond, targets, key)
-        -> final images [B, H, W, 3] in [0, 1]. jit once, reuse per batch."""
+        -> final images [B, H, W, 3] in [0, 1]. jit once, reuse per batch.
+
+        ``text_to_img`` starts from pure noise over the full step plan
+        (the reference's ``--text_to_img``, ``generate_data.py:1150-1158``,
+        which has a latent ``generator`` NameError there — we implement the
+        intended behavior); ``image_latents`` is then only a shape donor.
+        """
         sched = self.sched
         eps_fn = self.eps_fn()
         gcfg = self.guidance_cfg
-        start = img2img_start_index(sched, self.strength)
+        start = 0 if text_to_img else img2img_start_index(sched, self.strength)
         n = sched.num_inference_steps
         guided = gcfg.guidance_type in ("transform_guidance", "direct_guidance")
         if guided:
@@ -184,7 +194,19 @@ class ExpansionPipeline:
                 k_guide = jax.vmap(lambda k: jax.random.fold_in(k, 1))(key)
             else:
                 k_noise, k_guide = jax.random.split(key)
-            latents, _ = img2img_init(sched, image_latents, k_noise, self.strength)
+            if text_to_img:
+                if k_noise.ndim >= 1 and k_noise.shape[0] == image_latents.shape[0]:
+                    latents = jax.vmap(
+                        lambda k, x: jax.random.normal(k, x.shape, jnp.float32)
+                    )(k_noise, image_latents)
+                else:
+                    latents = jax.random.normal(
+                        k_noise, image_latents.shape, jnp.float32
+                    )
+            else:
+                latents, _ = img2img_init(
+                    sched, image_latents, k_noise, self.strength
+                )
             if not guided:
                 latents = denoise_range(
                     sched, eps_fn, params, latents, cond, uncond, start, n
@@ -238,3 +260,35 @@ def init_params(
     vae_params = jax.jit(vae.init)(k2, img)["params"]
     text_params = jax.jit(text_encoder.init)(k3, ids)["params"]
     return {"unet": unet_params, "vae": vae_params, "text": text_params}
+
+
+def init_params_lazy(
+    config: PipelineConfig,
+    unet: UNet2DCondition,
+    vae: AutoencoderKL,
+    text_encoder: CLIPTextEncoder,
+    fill: float = 0.02,
+) -> Dict[str, Any]:
+    """Constant-filled parameter trees from eval_shape — NO init programs
+    to compile. For benchmarking/compile checks where parameter values are
+    irrelevant (throughput does not depend on weights); real runs load
+    converted checkpoints instead."""
+    ls = config.latent_size
+    lat = jnp.zeros((1, ls, ls, config.unet.in_channels), jnp.float32)
+    ctx = jnp.zeros((1, 8, config.unet.cross_attention_dim), jnp.float32)
+    img = jnp.zeros((1, config.sample_size, config.sample_size, 3), jnp.float32)
+    ids = jnp.zeros((1, config.text_encoder.max_length), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    def fill_tree(shapes):
+        return jax.tree.map(
+            lambda s: jnp.full(s.shape, fill, s.dtype), shapes
+        )
+
+    return {
+        "unet": fill_tree(
+            jax.eval_shape(unet.init, key, lat, jnp.array([1]), ctx)["params"]
+        ),
+        "vae": fill_tree(jax.eval_shape(vae.init, key, img)["params"]),
+        "text": fill_tree(jax.eval_shape(text_encoder.init, key, ids)["params"]),
+    }
