@@ -82,6 +82,10 @@ def main():
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--check", action="store_true",
                    help="validate flash attention on this backend first")
+    p.add_argument("--fused", action="store_true",
+                   help="benchmark the single fused program instead of the "
+                        "split-program path (fused compiles MUCH slower on "
+                        "remote-compile backends)")
     args = p.parse_args()
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
@@ -100,7 +104,10 @@ def main():
         assert err < 1e-2
 
     pipe, bench_args = build(args.preset, args.batch)
-    expand = jax.jit(pipe.make_expand_fn())
+    if args.fused:
+        expand = jax.jit(pipe.make_expand_fn())
+    else:
+        expand = pipe.make_split_expand()
 
     t0 = time.time()
     out = expand(*bench_args)

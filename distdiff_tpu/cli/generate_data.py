@@ -76,6 +76,9 @@ def parse_args(argv=None):
                    help="CPU-runnable toy config (BASELINE config 1)")
     p.add_argument("--max_units", type=int, default=None,
                    help="cap pending work units (smoke runs)")
+    p.add_argument("--fused_program", action="store_true",
+                   help="compile the whole trajectory as ONE program "
+                        "(fastest steady-state, much slower first compile)")
     return p.parse_args(argv)
 
 
@@ -231,13 +234,26 @@ def main(argv=None):
         pipe.global_protos = jnp.asarray(gp)
         pipe.local_protos = jnp.asarray(lp)
 
+    from distdiff_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    if args.fused_program:
+        expand_fn = pipe.make_expand_fn(text_to_img=args.text_to_img)
+        prejitted = False
+    else:
+        expand_fn = pipe.make_split_expand(
+            text_to_img=args.text_to_img, mesh=mesh
+        )
+        prejitted = True
     driver = ExpansionDriver(
-        pipe.make_expand_fn(text_to_img=args.text_to_img),
+        expand_fn,
         pipe.full_params(),
         sd,
         args.output_dir,
         per_device_batch=args.train_batch_size,
         seed=args.seed,
+        mesh=mesh,
+        prejitted=prejitted,
     )
     stats = driver.run(
         num_images_per_prompt=args.num_images_per_prompt,

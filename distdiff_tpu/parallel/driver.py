@@ -50,6 +50,7 @@ class ExpansionDriver:
         seed: int = 0,
         mesh=None,
         writer_threads: int = 4,
+        prejitted: bool = False,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
@@ -61,11 +62,16 @@ class ExpansionDriver:
 
         shard = data_sharding(self.mesh)
         repl = replicated(self.mesh)
-        self._expand = jax.jit(
-            expand_fn,
-            in_shardings=(repl, shard, shard, shard, shard, shard),
-            out_shardings=shard,
-        )
+        if prejitted:
+            # e.g. a SplitExpand built with this mesh — already compiled
+            # with the right shardings.
+            self._expand = expand_fn
+        else:
+            self._expand = jax.jit(
+                expand_fn,
+                in_shardings=(repl, shard, shard, shard, shard, shard),
+                out_shardings=shard,
+            )
         self._params = jax.device_put(params, repl)
         self._writers = ThreadPoolExecutor(max_workers=writer_threads)
 

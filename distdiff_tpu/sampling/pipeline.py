@@ -33,6 +33,7 @@ from distdiff_tpu.sampling.sampler import (
 )
 from distdiff_tpu.schedulers import (
     DDIMSchedule,
+    ddim_step,
     guidance_window,
     img2img_start_index,
     make_schedule,
@@ -163,6 +164,14 @@ class ExpansionPipeline:
             p["guide"] = self.guide.variables
         return p
 
+    def make_split_expand(
+        self, text_to_img: bool = False, mesh=None
+    ) -> "SplitExpand":
+        """Expansion hot path as a few separately-compiled programs — much
+        faster to compile than the fused ``make_expand_fn`` program (see
+        SplitExpand docstring); prefer it on cold compile caches."""
+        return SplitExpand(self, text_to_img=text_to_img, mesh=mesh)
+
     # ---- the compiled hot path ----
     def make_expand_fn(self, text_to_img: bool = False) -> Callable:
         """Build expand(params, image_latents, cond, uncond, targets, key)
@@ -239,6 +248,149 @@ class ExpansionPipeline:
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
         return expand
+
+
+def _per_sample_keys(key, batch):
+    if key.ndim >= 1 and key.shape[0] == batch:
+        k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 0))(key)
+        k_guide = jax.vmap(lambda k: jax.random.fold_in(k, 1))(key)
+    else:
+        k_noise, k_guide = jax.random.split(key)
+    return k_noise, k_guide
+
+
+class SplitExpand:
+    """The expansion hot path as a few separately-compiled programs.
+
+    The single fused program (``make_expand_fn``) duplicates the UNet graph
+    ~8x (two denoise loops + the guidance rollout forward and backward),
+    which can take tens of minutes on slow compile services. This variant
+    compiles:
+      * ``init``   — img2img noising (tiny)
+      * ``span``   — ONE fori_loop over [lo, hi) with traced bounds
+                     (a single UNet instance, reused for both plain ranges)
+      * ``guide``  — the guidance update (transform: affine optimization at
+                     the window; direct: one guided step, reused per window
+                     index via a traced step index)
+      * ``decode`` — final VAE decode + denormalize
+    Runtime cost is 4-6 dispatches per batch instead of 1.
+    """
+
+    def __init__(self, pipe: "ExpansionPipeline", text_to_img: bool = False,
+                 mesh=None):
+        self.pipe = pipe
+        sched = pipe.sched
+        eps_fn = pipe.eps_fn()
+        gcfg = pipe.guidance_cfg
+        self.start = 0 if text_to_img else img2img_start_index(
+            sched, pipe.strength
+        )
+        self.n = sched.num_inference_steps
+        self.guided = gcfg.guidance_type in (
+            "transform_guidance", "direct_guidance"
+        )
+        self.gcfg = gcfg
+        if self.guided:
+            self.g0, self.g1 = guidance_window(
+                sched, gcfg.guidance_step, gcfg.guidance_period
+            )
+            self.ctx = pipe.guidance_context()
+
+        def init_fn(params, image_latents, keys):
+            del params
+            k_noise, _ = _per_sample_keys(keys, image_latents.shape[0])
+            if text_to_img:
+                if k_noise.ndim >= 1 and k_noise.shape[0] == image_latents.shape[0]:
+                    return jax.vmap(
+                        lambda k, x: jax.random.normal(k, x.shape, jnp.float32)
+                    )(k_noise, image_latents)
+                return jax.random.normal(
+                    k_noise, image_latents.shape, jnp.float32
+                )
+            lat, _ = img2img_init(sched, image_latents, k_noise, pipe.strength)
+            return lat
+
+        def span_fn(params, x, cond, uncond, lo, hi):
+            def body(i, xx):
+                t = sched.timesteps[i]
+                e = eps_fn(params, xx, t, cond, uncond)
+                xp, _ = ddim_step(sched, e, i, xx)
+                return xp
+
+            return jax.lax.fori_loop(lo, hi, body, x)
+
+        def decode_fn(params, x):
+            img = pipe.decode_latents(params, x)
+            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        # span's lo/hi are scalars: replicate them, not shard
+        if mesh is not None:
+            from distdiff_tpu.parallel.mesh import data_sharding, replicated
+
+            shard = data_sharding(mesh)
+            repl = replicated(mesh)
+            self.init = jax.jit(
+                init_fn, in_shardings=(repl, shard, shard), out_shardings=shard
+            )
+            self.span = jax.jit(
+                span_fn,
+                in_shardings=(repl, shard, shard, shard, repl, repl),
+                out_shardings=shard,
+            )
+            self.decode = jax.jit(
+                decode_fn, in_shardings=(repl, shard), out_shardings=shard
+            )
+        else:
+            self.init = jax.jit(init_fn)
+            self.span = jax.jit(span_fn)
+            self.decode = jax.jit(decode_fn)
+
+        if self.guided:
+            if gcfg.guidance_type == "transform_guidance":
+                def guide_fn(params, x, cond, uncond, targets, keys):
+                    _, k_guide = _per_sample_keys(keys, x.shape[0])
+                    out, _score = transform_guidance(
+                        self.ctx, params, x, cond, uncond, targets, k_guide,
+                        self.g0,
+                    )
+                    return out
+            else:
+                from distdiff_tpu.guidance.optimize import direct_guidance_step
+
+                def guide_fn(params, x, cond, uncond, targets, keys):
+                    # direct mode runs per window step; step indices are
+                    # static here (window is small), one program per index
+                    # is avoided by folding the loop into this program —
+                    # it is the guidance cost that dominates, not the count.
+                    out = x
+                    for i in range(self.g0, self.g1):
+                        out, _ = direct_guidance_step(
+                            self.ctx, params, out, cond, uncond, targets, i
+                        )
+                    return out
+
+            if mesh is not None:
+                self.guide = jax.jit(
+                    guide_fn,
+                    in_shardings=(repl, shard, shard, shard, shard, shard),
+                    out_shardings=shard,
+                )
+            else:
+                self.guide = jax.jit(guide_fn)
+
+    def __call__(self, params, image_latents, cond, uncond, targets, keys):
+        x = self.init(params, image_latents, keys)
+        if not self.guided:
+            x = self.span(params, x, cond, uncond, self.start, self.n)
+        elif self.gcfg.guidance_type == "transform_guidance":
+            x = self.span(params, x, cond, uncond, self.start, self.g0)
+            x = self.guide(params, x, cond, uncond, targets, keys)
+            x = self.span(params, x, cond, uncond, self.g0, self.n)
+        else:
+            x = self.span(params, x, cond, uncond, self.start, self.g0)
+            x = self.guide(params, x, cond, uncond, targets, keys)
+            x = self.span(params, x, cond, uncond, self.g1, self.n)
+        return self.decode(params, x)
 
 
 def init_params(
