@@ -27,6 +27,10 @@ class UNetConfig:
     num_attention_heads: int = 8
     cross_attention_dim: int = 768
     time_embed_dim_mult: int = 4
+    # Rematerialize blocks in the backward pass (the role of the reference's
+    # --gradient_checkpointing, generate_data.py:1049-1052): guidance
+    # backprops through the UNet and would not fit HBM otherwise.
+    remat: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -71,6 +75,9 @@ class VAEConfig:
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     layers_per_block: int = 2
     scaling_factor: float = 0.18215
+    # Remat decoder blocks: the guidance gradient flows through the 512^2
+    # decode, whose saved activations dominate HBM otherwise.
+    remat: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @staticmethod

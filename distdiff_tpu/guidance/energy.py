@@ -21,16 +21,16 @@ import jax
 import jax.numpy as jnp
 
 
-def global_energy(
+def global_energy_per_sample(
     features: jnp.ndarray,         # [B, D] fp32
     targets: jnp.ndarray,          # [B] int
     global_protos: jnp.ndarray,    # [C, D] fp32
 ) -> jnp.ndarray:
     proto = jax.lax.stop_gradient(global_protos[targets])  # [B, D]
-    return jnp.linalg.norm(features - proto, axis=-1).mean()
+    return jnp.linalg.norm(features - proto, axis=-1)      # [B]
 
 
-def local_energy(
+def local_energy_per_sample(
     features: jnp.ndarray,         # [B, D] fp32
     targets: jnp.ndarray,          # [B] int
     local_protos: jnp.ndarray,     # [C, K, D] fp32
@@ -41,7 +41,40 @@ def local_energy(
     chosen = jax.lax.stop_gradient(
         jnp.take_along_axis(protos, idx[:, None, None], axis=1)[:, 0]
     )  # [B, D]
-    return jnp.linalg.norm(features - chosen, axis=-1).mean()
+    return jnp.linalg.norm(features - chosen, axis=-1)  # [B]
+
+
+def hierarchical_energy_per_sample(
+    features: jnp.ndarray,
+    targets: jnp.ndarray,
+    global_protos: Optional[jnp.ndarray],
+    local_protos: Optional[jnp.ndarray],
+    gs: float = 1.0,
+    ls: float = 1.0,
+) -> jnp.ndarray:
+    """Per-sample energies [B]. Samples are independent: guidance gradients
+    wrt per-sample parameters are identical to running batch 1 (the
+    reference's recipe, ``train_batch_size=1``) — summing instead of the
+    reference's batch mean keeps gradient magnitudes batch-size invariant."""
+    f32 = features.astype(jnp.float32)
+    score = jnp.zeros(features.shape[0], jnp.float32)
+    if global_protos is not None:
+        score = score + gs * global_energy_per_sample(f32, targets, global_protos)
+    if local_protos is not None:
+        score = score + ls * local_energy_per_sample(f32, targets, local_protos)
+    return score
+
+
+def global_energy(features, targets, global_protos) -> jnp.ndarray:
+    return global_energy_per_sample(
+        features.astype(jnp.float32), targets, global_protos
+    ).mean()
+
+
+def local_energy(features, targets, local_protos) -> jnp.ndarray:
+    return local_energy_per_sample(
+        features.astype(jnp.float32), targets, local_protos
+    ).mean()
 
 
 def hierarchical_energy(
@@ -52,13 +85,11 @@ def hierarchical_energy(
     gs: float = 1.0,
     ls: float = 1.0,
 ) -> jnp.ndarray:
-    f32 = features.astype(jnp.float32)
-    score = jnp.asarray(0.0, jnp.float32)
-    if global_protos is not None:
-        score = score + gs * global_energy(f32, targets, global_protos)
-    if local_protos is not None:
-        score = score + ls * local_energy(f32, targets, local_protos)
-    return score
+    """Batch-mean scalar energy (the reference's exact reduction,
+    ``generate_data.py:707-717``)."""
+    return hierarchical_energy_per_sample(
+        features, targets, global_protos, local_protos, gs, ls
+    ).mean()
 
 
 def normalize(features: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

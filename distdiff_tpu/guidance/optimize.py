@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from distdiff_tpu.config import GuidanceConfig
-from distdiff_tpu.guidance.energy import hierarchical_energy, normalize
+from distdiff_tpu.guidance.energy import hierarchical_energy_per_sample, normalize
 from distdiff_tpu.schedulers import DDIMSchedule, ddim_step
 
 
@@ -53,14 +53,15 @@ class GuidanceContext:
 
 def _step_energy(ctx: GuidanceContext, params, x, i, cond, uncond, targets,
                  do_normalize: bool):
-    """One DDIM step + decode + encode + energy. Remat'd in rollouts."""
+    """One DDIM step + decode + encode + per-sample energies [B].
+    Remat'd in rollouts."""
     t = ctx.sched.timesteps[i]
     eps = ctx.eps_fn(params, x, t, cond, uncond)
     x_next, x0 = ddim_step(ctx.sched, eps, i, x)
     feats = ctx.encode_fn(params, ctx.decode_fn(params, x0))
     if do_normalize:
         feats = normalize(feats)
-    e = hierarchical_energy(
+    e = hierarchical_energy_per_sample(
         feats, targets,
         ctx.global_protos if ctx.cfg.wants_global() else None,
         ctx.local_protos if ctx.cfg.wants_local() else None,
@@ -109,7 +110,7 @@ def transform_guidance(
     def loss(gb):
         gamma, beta = gb
         x = (lat32 * (1.0 + gamma) + beta).astype(latents.dtype)
-        score = jnp.asarray(0.0, jnp.float32)
+        score = jnp.zeros(latents.shape[0], jnp.float32)
         step = jax.checkpoint(
             lambda xx, ii: _step_energy(
                 ctx, params, xx, ii, cond, uncond, targets, do_norm
@@ -119,9 +120,15 @@ def transform_guidance(
         for i in range(window_start, window_start + cfg.guidance_period):
             x, e = step(x, i)
             score = score + e
-        return score / cfg.guidance_period
+        score = score / cfg.guidance_period  # per-sample scores [B]
+        # Sum over the batch: samples are independent, so each sample's
+        # gamma/beta gradient equals its batch-1 gradient (the reference
+        # runs batch 1; its batch-mean would shrink gradients by 1/B).
+        return score.sum(), score
 
-    score, (g_gamma, g_beta) = jax.value_and_grad(loss)((gamma0, beta0))
+    (_, score), (g_gamma, g_beta) = jax.value_and_grad(loss, has_aux=True)(
+        (gamma0, beta0)
+    )
     gamma = gamma0 - cfg.rho * g_gamma
     beta = beta0 - cfg.rho * g_beta
 
@@ -154,9 +161,10 @@ def direct_guidance_step(
         x_next, e = _step_energy(
             ctx, params, x, step_index, cond, uncond, targets, do_norm
         )
-        return e, x_next
+        # sum over independent samples (see transform_guidance note)
+        return e.sum(), (x_next, e)
 
-    (score, x_next), gx = jax.value_and_grad(loss, has_aux=True)(latents)
+    (_, (x_next, score)), gx = jax.value_and_grad(loss, has_aux=True)(latents)
     out = x_next - cfg.rho * gx
     return jax.lax.stop_gradient(out), score
 

@@ -51,8 +51,11 @@ class UNet2DCondition(nn.Module):
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dtype,
                     name="conv_in")(x)
 
+        Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        ST = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
+
         def transformer(ch, name):
-            return SpatialTransformer(
+            return ST(
                 num_heads=cfg.num_attention_heads,
                 head_dim=ch // cfg.num_attention_heads,
                 depth=cfg.transformer_depth,
@@ -65,7 +68,7 @@ class UNet2DCondition(nn.Module):
         n_blocks = len(cfg.block_out_channels)
         for bi, ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
-                x = ResnetBlock(ch, dtype=dtype, name=f"down_{bi}_res_{li}")(x, temb)
+                x = Res(ch, dtype=dtype, name=f"down_{bi}_res_{li}")(x, temb)
                 if cfg.cross_attention[bi]:
                     x = transformer(ch, f"down_{bi}_attn_{li}")(x, context)
                 skips.append(x)
@@ -75,9 +78,9 @@ class UNet2DCondition(nn.Module):
 
         # ---- mid
         mid_ch = cfg.block_out_channels[-1]
-        x = ResnetBlock(mid_ch, dtype=dtype, name="mid_res_0")(x, temb)
+        x = Res(mid_ch, dtype=dtype, name="mid_res_0")(x, temb)
         x = transformer(mid_ch, "mid_attn")(x, context)
-        x = ResnetBlock(mid_ch, dtype=dtype, name="mid_res_1")(x, temb)
+        x = Res(mid_ch, dtype=dtype, name="mid_res_1")(x, temb)
 
         # ---- up path (reversed blocks, layers_per_block+1 resnets each)
         for ui, bi in enumerate(reversed(range(n_blocks))):
@@ -85,7 +88,7 @@ class UNet2DCondition(nn.Module):
             for li in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(ch, dtype=dtype, name=f"up_{ui}_res_{li}")(x, temb)
+                x = Res(ch, dtype=dtype, name=f"up_{ui}_res_{li}")(x, temb)
                 if cfg.cross_attention[bi]:
                     x = transformer(ch, f"up_{ui}_attn_{li}")(x, context)
             if bi > 0:

@@ -75,18 +75,19 @@ class Decoder(nn.Module):
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         dtype = cfg.dtype
+        Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         z = z.astype(dtype)
         mid = cfg.block_out_channels[-1]
         x = nn.Conv(mid, (3, 3), padding=1, dtype=dtype, name="conv_in")(z)
-        x = ResnetBlock(mid, use_time_emb=False, dtype=dtype, name="mid_res_0")(x)
+        x = Res(mid, use_time_emb=False, dtype=dtype, name="mid_res_0")(x)
         x = VAEAttention(dtype=dtype, name="mid_attn")(x)
-        x = ResnetBlock(mid, use_time_emb=False, dtype=dtype, name="mid_res_1")(x)
+        x = Res(mid, use_time_emb=False, dtype=dtype, name="mid_res_1")(x)
         n = len(cfg.block_out_channels)
         for ui, bi in enumerate(reversed(range(n))):
             ch = cfg.block_out_channels[bi]
             for li in range(cfg.layers_per_block + 1):
-                x = ResnetBlock(ch, use_time_emb=False, dtype=dtype,
-                                name=f"up_{ui}_res_{li}")(x)
+                x = Res(ch, use_time_emb=False, dtype=dtype,
+                        name=f"up_{ui}_res_{li}")(x)
             if bi > 0:
                 x = Upsample(ch, dtype=dtype, name=f"up_{ui}_upsample")(x)
         x = GroupNorm(dtype=dtype, name="conv_norm_out")(x)

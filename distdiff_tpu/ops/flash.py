@@ -45,8 +45,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_blocks(tq: int, tk: int):
-    block_q = min(_round_up(tq, LANES), 512)
-    block_k = min(_round_up(tk, LANES), 512)
+    bq_cap = int(os.environ.get("DISTDIFF_FLASH_BQ", "512"))
+    bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK", "1024"))
+    block_q = min(_round_up(tq, LANES), bq_cap)
+    block_k = min(_round_up(tk, LANES), bk_cap)
     return block_q, block_k
 
 

@@ -119,7 +119,8 @@ def test_transform_guidance_linf_constraint():
         lambda *a: transform_guidance(ctx, *a, window_start=g0)
     )(params, lat, cond, uncond, jnp.asarray([2]), jax.random.PRNGKey(0))
     assert new_lat.shape == lat.shape
-    assert np.isfinite(float(score))
+    assert score.shape == (1,)  # per-sample scores
+    assert bool(np.isfinite(np.asarray(score)).all())
     # l-inf ball around the original latents (constraint_value=0.2 default)
     max_dev = float(jnp.abs(new_lat - lat).max())
     assert max_dev <= 0.2 + 1e-5, max_dev
