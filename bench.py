@@ -115,10 +115,15 @@ def main():
     compile_s = time.time() - t0
     print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
+    # Distinct latents per iteration: the serving tunnel caches executions
+    # with identical argument values, which would fake the repeat timings.
+    params_, lat0, cond_, uncond_, targets_, keys_ = bench_args
     times = []
-    for _ in range(args.iters):
+    for i in range(args.iters):
+        lat_i = lat0 + jnp.float32(1e-6 * (i + 1))
+        lat_i.block_until_ready()
         t0 = time.time()
-        out = expand(*bench_args)
+        out = expand(params_, lat_i, cond_, uncond_, targets_, keys_)
         out.block_until_ready()
         times.append(time.time() - t0)
     dt = min(times)

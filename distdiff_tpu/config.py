@@ -8,14 +8,15 @@ across entry points (``generate_data.py:164-639``); the CLIs in
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
-    """UNet2DCondition architecture (SD-1.x geometry by default)."""
+    """UNet2DCondition architecture (SD-1.x geometry by default;
+    SDXL-base geometry via :meth:`sdxl_base`)."""
 
     in_channels: int = 4
     out_channels: int = 4
@@ -23,10 +24,16 @@ class UNetConfig:
     layers_per_block: int = 2
     # Per down-block: does it carry cross-attention transformers?
     cross_attention: Tuple[bool, ...] = (True, True, True, False)
-    transformer_depth: int = 1
-    num_attention_heads: int = 8
+    # int (uniform) or per-block tuple (SDXL uses (0, 2, 10)).
+    transformer_depth: Any = 1
+    # int (uniform) or per-block tuple (SDXL uses head_dim 64: (5, 10, 20)).
+    num_attention_heads: Any = 8
     cross_attention_dim: int = 768
     time_embed_dim_mult: int = 4
+    # SDXL additive conditioning: dim of the concatenated [pooled text
+    # embeds | sinusoidal(time_ids)] vector fed through add_embedding
+    # (2816 = 1280 + 6*256 for SDXL-base). None disables it.
+    addition_embed_dim: Optional[int] = None
     # Rematerialize blocks in the backward pass (the role of the reference's
     # --gradient_checkpointing, generate_data.py:1049-1052): guidance
     # backprops through the UNet and would not fit HBM otherwise.
@@ -37,19 +44,30 @@ class UNetConfig:
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * self.time_embed_dim_mult
 
+    def depth_at(self, block: int) -> int:
+        d = self.transformer_depth
+        return d[block] if isinstance(d, (tuple, list)) else d
+
+    def heads_at(self, block: int) -> int:
+        h = self.num_attention_heads
+        return h[block] if isinstance(h, (tuple, list)) else h
+
     @staticmethod
     def sd15() -> "UNetConfig":
         return UNetConfig()
 
     @staticmethod
     def sdxl_base() -> "UNetConfig":
-        # SDXL-base geometry: 3 blocks, transformer depth 2/10 handled via
-        # per-block depth; modeled with uniform depth for now.
+        """SDXL-base: 3 blocks, no attention at the top level, transformer
+        depths (0, 2, 10), head_dim 64, 2048-d context, additive pooled-
+        text+size conditioning."""
         return UNetConfig(
             block_out_channels=(320, 640, 1280),
             cross_attention=(False, True, True),
-            transformer_depth=2,
+            transformer_depth=(0, 2, 10),
+            num_attention_heads=(5, 10, 20),
             cross_attention_dim=2048,
+            addition_embed_dim=2816,
         )
 
     @staticmethod

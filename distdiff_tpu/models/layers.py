@@ -68,6 +68,8 @@ class GroupNorm(nn.Module):
         orig_dtype = x.dtype
         c = x.shape[-1]
         groups = min(self.num_groups, c)
+        while c % groups:  # largest divisor <= num_groups (torch requires
+            groups -= 1    # divisibility; tiny test configs may not divide)
         cpg = c // groups
         b = x.shape[0]
         n_spatial = 1

@@ -36,6 +36,7 @@ class UNet2DCondition(nn.Module):
         sample: jnp.ndarray,            # [B, H, W, C_in]
         timestep: jnp.ndarray,          # [] or [B], int or float
         encoder_hidden_states: jnp.ndarray,  # [B, T_text, D_ctx]
+        added_cond: jnp.ndarray = None,  # [B, addition_embed_dim] (SDXL)
     ) -> jnp.ndarray:
         cfg = self.config
         dtype = cfg.dtype
@@ -45,6 +46,14 @@ class UNet2DCondition(nn.Module):
 
         temb = timestep_embedding(timestep, cfg.block_out_channels[0])
         temb = TimestepMLP(cfg.time_embed_dim, dtype=dtype, name="time_embedding")(temb)
+        if cfg.addition_embed_dim is not None:
+            assert added_cond is not None, (
+                "this config requires added_cond ([pooled text | time-id "
+                "embeddings], SDXL additive conditioning)"
+            )
+            temb = temb + TimestepMLP(
+                cfg.time_embed_dim, dtype=dtype, name="add_embedding"
+            )(added_cond.astype(jnp.float32))
         context = encoder_hidden_states.astype(dtype)
         x = sample.astype(dtype)
 
@@ -54,11 +63,12 @@ class UNet2DCondition(nn.Module):
         Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         ST = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
 
-        def transformer(ch, name):
+        def transformer(ch, bi, name):
+            heads = cfg.heads_at(bi)
             return ST(
-                num_heads=cfg.num_attention_heads,
-                head_dim=ch // cfg.num_attention_heads,
-                depth=cfg.transformer_depth,
+                num_heads=heads,
+                head_dim=ch // heads,
+                depth=cfg.depth_at(bi),
                 dtype=dtype,
                 name=name,
             )
@@ -69,8 +79,8 @@ class UNet2DCondition(nn.Module):
         for bi, ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
                 x = Res(ch, dtype=dtype, name=f"down_{bi}_res_{li}")(x, temb)
-                if cfg.cross_attention[bi]:
-                    x = transformer(ch, f"down_{bi}_attn_{li}")(x, context)
+                if cfg.cross_attention[bi] and cfg.depth_at(bi) > 0:
+                    x = transformer(ch, bi, f"down_{bi}_attn_{li}")(x, context)
                 skips.append(x)
             if bi < n_blocks - 1:
                 x = Downsample(ch, dtype=dtype, name=f"down_{bi}_downsample")(x)
@@ -79,7 +89,7 @@ class UNet2DCondition(nn.Module):
         # ---- mid
         mid_ch = cfg.block_out_channels[-1]
         x = Res(mid_ch, dtype=dtype, name="mid_res_0")(x, temb)
-        x = transformer(mid_ch, "mid_attn")(x, context)
+        x = transformer(mid_ch, len(cfg.block_out_channels) - 1, "mid_attn")(x, context)
         x = Res(mid_ch, dtype=dtype, name="mid_res_1")(x, temb)
 
         # ---- up path (reversed blocks, layers_per_block+1 resnets each)
@@ -89,8 +99,8 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = Res(ch, dtype=dtype, name=f"up_{ui}_res_{li}")(x, temb)
-                if cfg.cross_attention[bi]:
-                    x = transformer(ch, f"up_{ui}_attn_{li}")(x, context)
+                if cfg.cross_attention[bi] and cfg.depth_at(bi) > 0:
+                    x = transformer(ch, bi, f"up_{ui}_attn_{li}")(x, context)
             if bi > 0:
                 x = Upsample(ch, dtype=dtype, name=f"up_{ui}_upsample")(x)
 

@@ -45,8 +45,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_blocks(tq: int, tk: int):
+    # Swept on v5e at the SD hot shape (B2 T4096 H8 D40): large kv blocks
+    # amortize the online-softmax rescale — bk 2048-4096 runs ~2.5x faster
+    # than 512 (scripts/flash_sweep.py). Env overrides for tuning.
     bq_cap = int(os.environ.get("DISTDIFF_FLASH_BQ", "512"))
-    bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK", "1024"))
+    bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK", "2048"))
     block_q = min(_round_up(tq, LANES), bq_cap)
     block_k = min(_round_up(tk, LANES), bk_cap)
     return block_q, block_k

@@ -16,36 +16,63 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/distdiff_jax_cache")
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
 def device_time(fn, args, iters: int, perturb_index: int = 0):
-    """Time `fn(*args)` averaged over `iters` on-device iterations."""
+    """Average per-call device time via a dispatch loop with ONE final sync.
 
-    def scan_body(carry, i):
-        args2 = list(args)
-        a = args2[perturb_index]
-        args2[perturb_index] = a + (i.astype(a.dtype) * jnp.asarray(1e-6, a.dtype))
-        out = fn(*args2)
-        # fold output into carry so every iteration is live
-        leaves = jax.tree_util.tree_leaves(out)
-        acc = carry + jnp.sum(leaves[0].astype(jnp.float32))
-        return acc, ()
+    Executions queue serially on the chip, so total/iters ~= per-call time
+    once iters is large enough to amortize the tunnel round trip. (A
+    lax.scan-based harness is useless here: this runtime syncs per while-
+    loop iteration, adding ~15-70ms per step.)
+    """
+    # The ONLY trustworthy timing on this tunnel: loop inside one compiled
+    # program and take the SLOPE between two iteration counts (a host value
+    # fetch forces the sync; constant overheads — RTT, warmup, constant
+    # loads, even per-dispatch games — cancel in the difference).
+    # block_until_ready does NOT reliably wait here, and the relay also
+    # plays tricks with repeated dispatches.
+    def make_run(n):
+        @jax.jit
+        def run(a0):
+            def body(carry, _):
+                acc, a = carry
+                a2 = list(args)
+                a2[perturb_index] = a
+                out = fn(*a2)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                # fold a cheap output summary back into the perturbed input
+                # so iterations are sequentially dependent (no overlap/elide)
+                s = jnp.sum(leaf[..., :1].astype(jnp.float32)) * 1e-20
+                return (acc + s, a + s.astype(a.dtype)), None
 
-    @jax.jit
-    def run():
-        acc, _ = jax.lax.scan(
-            scan_body, jnp.float32(0.0), jnp.arange(iters)
-        )
-        return acc
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), a0), None, length=n
+            )
+            return acc
 
-    run()  # compile + warm
+        return run
+
+    a0 = args[perturb_index]
+    n1, n2 = max(2, iters // 5), iters
+    run1, run2 = make_run(n1), make_run(n2)
+    float(run1(a0)); float(run2(a0))  # compile both
+    t1 = min(_timed(run1, a0) for _ in range(2))
+    t2 = min(_timed(run2, a0) for _ in range(2))
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def _timed(run, a0):
     t0 = time.time()
-    float(run())
-    dt = (time.time() - t0) / iters
-    return dt
+    float(run(a0))
+    return time.time() - t0
 
 
 def bench_attention(iters: int):
@@ -67,11 +94,15 @@ def bench_attention(iters: int):
         v = jnp.asarray(rng.randn(b, tk, h, d), jnp.bfloat16)
         it = max(4, iters // 4) if tq >= 16384 else iters
         t_flash = device_time(flash_attention, [q, k, v], it)
-        t_xla = device_time(xla_attention, [q, k, v], it)
+        if tq * tk <= 4096 * 4096:  # xla materializes [B,H,Tq,Tk]; skip OOM
+            t_xla = device_time(xla_attention, [q, k, v], it)
+            xla_str = f"| xla {t_xla * 1e3:8.3f} ms"
+        else:
+            xla_str = "| xla (skipped: logits OOM)"
         flops = 2 * b * h * tq * tk * d * 2
         print(
             f"{tag:<20s} flash {t_flash * 1e3:8.3f} ms ({flops / t_flash / 1e12:6.1f} TF/s eff) "
-            f"| xla {t_xla * 1e3:8.3f} ms",
+            + xla_str,
             flush=True,
         )
 
