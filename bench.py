@@ -86,6 +86,10 @@ def main():
                    help="benchmark the single fused program instead of the "
                         "split-program path (fused compiles MUCH slower on "
                         "remote-compile backends)")
+    p.add_argument("--fp32_params", action="store_true",
+                   help="keep parameters fp32 (default stores them bf16 to "
+                        "halve weight-read bandwidth; activations math is "
+                        "bf16 with fp32 statistics either way)")
     args = p.parse_args()
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
@@ -104,6 +108,11 @@ def main():
         assert err < 1e-2
 
     pipe, bench_args = build(args.preset, args.batch)
+    if not args.fp32_params:
+        from distdiff_tpu.sampling.pipeline import cast_params_bf16
+
+        full, *rest = bench_args
+        bench_args = (cast_params_bf16(full),) + tuple(rest)
     if args.fused:
         expand = jax.jit(pipe.make_expand_fn())
     else:

@@ -79,6 +79,10 @@ def parse_args(argv=None):
     p.add_argument("--fused_program", action="store_true",
                    help="compile the whole trajectory as ONE program "
                         "(fastest steady-state, much slower first compile)")
+    p.add_argument("--save_params", type=str, default=None,
+                   help="after loading/converting SD weights, save the "
+                        "parameter tree here (orbax) for fast reuse via "
+                        "--params_path")
     return p.parse_args(argv)
 
 
@@ -206,6 +210,11 @@ def main(argv=None):
     # bootstrap pipeline (no guide yet) for text/vae encoders
     pipe = build_pipeline(args)
     params = pipe.params
+    if args.save_params:
+        from distdiff_tpu.utils import checkpoints as ckpt
+
+        ckpt.save_pytree(args.save_params, params)
+        log.info("saved SD params to %s", args.save_params)
     tokenizer = load_tokenizer(
         args.bpe_path,
         max_length=pipe.config.text_encoder.max_length,

@@ -44,12 +44,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_blocks(tq: int, tk: int):
+def _pick_blocks(tq: int, tk: int, dp: int = 128):
     # Swept on v5e at the SD hot shape (B2 T4096 H8 D40): large kv blocks
     # amortize the online-softmax rescale — bk 2048-4096 runs ~2.5x faster
     # than 512 (scripts/flash_sweep.py). Env overrides for tuning.
+    # Large head dims (the VAE's single 512-wide head) scale the caps down
+    # to keep kernel VMEM (blocks + f32 scratch) under the ~16MB budget.
     bq_cap = int(os.environ.get("DISTDIFF_FLASH_BQ", "512"))
     bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK", "2048"))
+    if dp > 128:
+        shrink = dp // 128
+        bq_cap = max(256, bq_cap // shrink)
+        bk_cap = max(256, bk_cap // shrink)
     block_q = min(_round_up(tq, LANES), bq_cap)
     block_k = min(_round_up(tk, LANES), bk_cap)
     return block_q, block_k
@@ -266,7 +272,7 @@ def _prep(q, k, v):
     b, tq, h, d = q.shape
     tk = k.shape[1]
     dp = max(_round_up(d, LANES), LANES)
-    block_q, block_k = _pick_blocks(tq, tk)
+    block_q, block_k = _pick_blocks(tq, tk, dp)
     tqp = _round_up(tq, block_q)
     tkp = _round_up(tk, block_k)
 

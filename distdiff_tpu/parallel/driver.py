@@ -27,10 +27,15 @@ log = logging.getLogger("distdiff.driver")
 
 
 def save_png(path: str, image01: np.ndarray) -> None:
-    """image01: [H, W, 3] float in [0, 1] -> 8-bit PNG."""
+    """image01: [H, W, 3] float in [0, 1] -> 8-bit PNG.
+
+    compress_level=1: zlib level 9 costs ~5x more CPU per 512^2 image and
+    the writeback thread pool shares the host CPU with batch prep — at
+    multi-img/s sustained rates PNG encoding becomes the host bottleneck.
+    """
     os.makedirs(os.path.dirname(path), exist_ok=True)
     arr = np.clip(np.asarray(image01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    Image.fromarray(arr).save(path, compress_level=1)
 
 
 class ExpansionDriver:

@@ -250,6 +250,17 @@ class ExpansionPipeline:
         return expand
 
 
+def cast_params_bf16(params):
+    """Store fp32 parameters as bf16 (halves HBM weight reads; ~3.4GB/call
+    for the SD UNet otherwise). Norm scales/biases are tiny — casting them
+    too is fine because all normalization statistics are computed fp32."""
+    return jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16)
+        if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+        params,
+    )
+
+
 def _per_sample_keys(key, batch):
     if key.ndim >= 1 and key.shape[0] == batch:
         k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 0))(key)
@@ -323,27 +334,46 @@ class SplitExpand:
             img = pipe.decode_latents(params, x)
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
-        # span's lo/hi are scalars: replicate them, not shard
+        # Fuse the cheap stages into the spans: 3 dispatches per guided
+        # batch instead of 5 (each dispatch pays a tunnel round trip).
+        def init_span_fn(params, image_latents, cond, uncond, keys, lo, hi):
+            x = init_fn(params, image_latents, keys)
+            return span_fn(params, x, cond, uncond, lo, hi)
+
+        def span_decode_fn(params, x, cond, uncond, lo, hi):
+            x = span_fn(params, x, cond, uncond, lo, hi)
+            return decode_fn(params, x)
+
+        def full_fn(params, image_latents, cond, uncond, keys, lo, hi):
+            x = init_fn(params, image_latents, keys)
+            x = span_fn(params, x, cond, uncond, lo, hi)
+            return decode_fn(params, x)
+
+        # span bounds are scalars: replicate them, not shard
         if mesh is not None:
             from distdiff_tpu.parallel.mesh import data_sharding, replicated
 
             shard = data_sharding(mesh)
             repl = replicated(mesh)
-            self.init = jax.jit(
-                init_fn, in_shardings=(repl, shard, shard), out_shardings=shard
+            self.init_span = jax.jit(
+                init_span_fn,
+                in_shardings=(repl, shard, shard, shard, shard, repl, repl),
+                out_shardings=shard,
             )
-            self.span = jax.jit(
-                span_fn,
+            self.span_decode = jax.jit(
+                span_decode_fn,
                 in_shardings=(repl, shard, shard, shard, repl, repl),
                 out_shardings=shard,
             )
-            self.decode = jax.jit(
-                decode_fn, in_shardings=(repl, shard), out_shardings=shard
+            self.full = jax.jit(
+                full_fn,
+                in_shardings=(repl, shard, shard, shard, shard, repl, repl),
+                out_shardings=shard,
             )
         else:
-            self.init = jax.jit(init_fn)
-            self.span = jax.jit(span_fn)
-            self.decode = jax.jit(decode_fn)
+            self.init_span = jax.jit(init_span_fn)
+            self.span_decode = jax.jit(span_decode_fn)
+            self.full = jax.jit(full_fn)
 
         if self.guided:
             if gcfg.guidance_type == "transform_guidance":
@@ -379,18 +409,17 @@ class SplitExpand:
                 self.guide = jax.jit(guide_fn)
 
     def __call__(self, params, image_latents, cond, uncond, targets, keys):
-        x = self.init(params, image_latents, keys)
         if not self.guided:
-            x = self.span(params, x, cond, uncond, self.start, self.n)
-        elif self.gcfg.guidance_type == "transform_guidance":
-            x = self.span(params, x, cond, uncond, self.start, self.g0)
-            x = self.guide(params, x, cond, uncond, targets, keys)
-            x = self.span(params, x, cond, uncond, self.g0, self.n)
-        else:
-            x = self.span(params, x, cond, uncond, self.start, self.g0)
-            x = self.guide(params, x, cond, uncond, targets, keys)
-            x = self.span(params, x, cond, uncond, self.g1, self.n)
-        return self.decode(params, x)
+            return self.full(
+                params, image_latents, cond, uncond, keys, self.start, self.n
+            )
+        x = self.init_span(
+            params, image_latents, cond, uncond, keys, self.start, self.g0
+        )
+        x = self.guide(params, x, cond, uncond, targets, keys)
+        resume = self.g0 if self.gcfg.guidance_type == "transform_guidance" \
+            else self.g1
+        return self.span_decode(params, x, cond, uncond, resume, self.n)
 
 
 def init_params(
