@@ -59,44 +59,19 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # TPU-layout-aware: never materialize [..., G, C/G] tensors (C/G is
-        # ~10-40 — putting it on the 128-lane axis pads ~10x and wrecks
-        # every norm). Instead reduce spatially to [B, C] (layout-friendly),
-        # fold channels into groups on the tiny result, and broadcast the
-        # per-channel statistics back over the untouched [B, H, W, C] data.
-        # Statistics fp32, elementwise math in the input dtype.
-        orig_dtype = x.dtype
+        # Dispatches to the fused Pallas kernel on TPU (ONE HBM pass per
+        # batch row; see distdiff_tpu/ops/groupnorm.py) with a TPU-layout-
+        # aware XLA fallback: never materialize [..., G, C/G] tensors whose
+        # ~10-40-wide C/G lane dim pads ~10x.
+        from distdiff_tpu.ops.groupnorm import group_norm
+
         c = x.shape[-1]
         groups = min(self.num_groups, c)
         while c % groups:  # largest divisor <= num_groups (torch requires
             groups -= 1    # divisibility; tiny test configs may not divide)
-        cpg = c // groups
-        b = x.shape[0]
-        n_spatial = 1
-        for d in x.shape[1:-1]:
-            n_spatial *= d
-
-        x32 = x.astype(jnp.float32)
-        red_axes = tuple(range(1, x.ndim - 1))
-        s1 = jnp.sum(x32, axis=red_axes)            # [B, C]
-        s2 = jnp.sum(x32 * x32, axis=red_axes)      # [B, C]
-        g1 = s1.reshape(b, groups, cpg).sum(-1)     # [B, G] (tiny)
-        g2 = s2.reshape(b, groups, cpg).sum(-1)
-        n = n_spatial * cpg
-        mean_g = g1 / n
-        var_g = g2 / n - mean_g * mean_g
-        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
-        # per-channel broadcast of the per-group stats: [B, C]
-        mean_c = jnp.repeat(mean_g, cpg, axis=1)
-        inv_c = jnp.repeat(inv_g, cpg, axis=1)
-
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        # fold affine into the broadcast factors: y = x*a + b_
-        a = (inv_c * scale[None, :]).astype(orig_dtype)
-        b_ = (bias[None, :] - mean_c * inv_c * scale[None, :]).astype(orig_dtype)
-        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
-        return x * a.reshape(bshape) + b_.reshape(bshape)
+        return group_norm(x, scale, bias, groups, self.epsilon)
 
 
 class ResnetBlock(nn.Module):

@@ -165,12 +165,16 @@ class ExpansionPipeline:
         return p
 
     def make_split_expand(
-        self, text_to_img: bool = False, mesh=None
+        self, text_to_img: bool = False, mesh=None,
+        guide_chunk: Optional[int] = None,
     ) -> "SplitExpand":
         """Expansion hot path as a few separately-compiled programs — much
         faster to compile than the fused ``make_expand_fn`` program (see
-        SplitExpand docstring); prefer it on cold compile caches."""
-        return SplitExpand(self, text_to_img=text_to_img, mesh=mesh)
+        SplitExpand docstring); prefer it on cold compile caches.
+        ``guide_chunk`` bounds guidance-backward memory on a single chip
+        (don't combine with a sharded mesh — slicing would cross shards)."""
+        return SplitExpand(self, text_to_img=text_to_img, mesh=mesh,
+                           guide_chunk=guide_chunk)
 
     # ---- the compiled hot path ----
     def make_expand_fn(self, text_to_img: bool = False) -> Callable:
@@ -288,8 +292,13 @@ class SplitExpand:
     """
 
     def __init__(self, pipe: "ExpansionPipeline", text_to_img: bool = False,
-                 mesh=None):
+                 mesh=None, guide_chunk: Optional[int] = None):
+        """``guide_chunk``: run the guidance update on sub-batches of this
+        size (exact — samples are independent in the per-sample energy
+        formulation); bounds the guidance backward's HBM footprint so the
+        denoise spans can run larger batches."""
         self.pipe = pipe
+        self.guide_chunk = guide_chunk
         sched = pipe.sched
         eps_fn = pipe.eps_fn()
         gcfg = pipe.guidance_cfg
@@ -416,7 +425,18 @@ class SplitExpand:
         x = self.init_span(
             params, image_latents, cond, uncond, keys, self.start, self.g0
         )
-        x = self.guide(params, x, cond, uncond, targets, keys)
+        b = x.shape[0]
+        if self.guide_chunk is not None and self.guide_chunk < b:
+            assert b % self.guide_chunk == 0, (b, self.guide_chunk)
+            c = self.guide_chunk
+            parts = [
+                self.guide(params, x[i:i + c], cond[i:i + c],
+                           uncond[i:i + c], targets[i:i + c], keys[i:i + c])
+                for i in range(0, b, c)
+            ]
+            x = jnp.concatenate(parts, axis=0)
+        else:
+            x = self.guide(params, x, cond, uncond, targets, keys)
         resume = self.g0 if self.gcfg.guidance_type == "transform_guidance" \
             else self.g1
         return self.span_decode(params, x, cond, uncond, resume, self.n)
