@@ -35,6 +35,11 @@ def set_seed(seed: Optional[int]) -> None:
         return
     random.seed(seed)
     np.random.seed(seed)
+    # Per-item augmentation RNG is derived from (data seed, epoch, index) so
+    # --manualSeed controls train-time augmentations too (VERDICT r1 #8).
+    from distdiff_tpu.data.datasets import set_data_seed
+
+    set_data_seed(seed)
 
 
 def add_dataset_args(p: argparse.ArgumentParser) -> None:

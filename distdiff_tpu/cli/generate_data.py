@@ -63,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--strength", type=float, default=0.5)
     p.add_argument("--language_enhance", "-le", action="store_true")
     p.add_argument("--text_to_img", action="store_true")
+    p.add_argument("--offset_noise", action="store_true",
+                   help="add 0.1x per-channel offset to the img2img noise "
+                        "(generate_data.py:1164-1168)")
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train_batch_size", type=int, default=1,
@@ -109,8 +112,10 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
     elif args.sd_checkpoint:
         from distdiff_tpu.weights.convert import convert_sd_checkpoint
 
-        params = convert_sd_checkpoint(args.sd_checkpoint)
-        log.info("converted SD checkpoint from %s", args.sd_checkpoint)
+        # strict: a partial conversion (any missing/extra/mismatched leaf)
+        # raises instead of silently running stale random leaves
+        params = convert_sd_checkpoint(args.sd_checkpoint, config=config)
+        log.info("converted SD checkpoint from %s (validated)", args.sd_checkpoint)
     else:
         log.warning(
             "NO SD WEIGHTS PROVIDED — using random init. Pass --sd_checkpoint "
@@ -141,6 +146,7 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
         global_protos=global_protos,
         local_protos=local_protos,
         strength=args.strength,
+        offset_noise=args.offset_noise,
         seed=args.seed,
     )
 
@@ -167,6 +173,18 @@ def prepare_guide_and_prototypes(args, pipe, sd):
         arch, num_classes=num_classes, weight_path=args.encoder_weight_path,
         input_size=pipe.guidance_cfg.guide_input_size,
     )
+    if arch == "open_clip_vit_b32" and guide.text_variables is not None:
+        # real zero-shot head: dataset template + class names through the
+        # converted OpenCLIP text tower (reference model_utils.py:74-85)
+        from distdiff_tpu.data.templates import template_for
+        from distdiff_tpu.models.guide.factory import (
+            build_zero_shot_text_features,
+        )
+
+        guide.class_text_features = jnp.asarray(build_zero_shot_text_features(
+            sd.class_names, template=template_for(args.dataset),
+            variables=guide.text_variables, bpe_path=args.bpe_path,
+        ))
 
     proto_path = os.path.join(
         "save/prototypes", arch, args.dataset, f"class_wise_prototype_K{args.K}.npz"
@@ -219,6 +237,10 @@ def main(argv=None):
         args.bpe_path,
         max_length=pipe.config.text_encoder.max_length,
         vocab_size=pipe.config.text_encoder.vocab_size,
+        checkpoint_dir=args.sd_checkpoint,
+        # real weights + hash-tokenized prompts = silently wrong text
+        # conditioning; refuse (ADVICE r1) unless this is a toy run
+        strict=bool(args.sd_checkpoint or args.params_path) and not args.tiny,
     )
     encode_text = jax.jit(lambda ids: pipe.encode_text(params, ids))
     encode_images = jax.jit(lambda im: pipe.encode_images(params, im))

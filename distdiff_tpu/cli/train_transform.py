@@ -68,12 +68,16 @@ def main(argv=None):
         make_eval_step, make_optimizer, make_train_step,
     )
     from distdiff_tpu.train.augment import (
-        GridMask, cutmix_data, jsd_consistency_loss, mixup_data,
-        soft_target_cross_entropy,
+        AugMixDataset, GridMask, cutmix_data, jsd_consistency_loss,
+        mixup_data, soft_target_cross_entropy,
     )
 
-    tf = build_transform(args)
-    loaded = build_dataset(args, train_tf=tf)
+    is_augmix = args.transform_type == "augmix"
+    # augmix applies its own stages inside AugMixDataset: base datasets stay
+    # raw-PIL (transform None), and the wrapper produces 3-view stacks
+    # (reference train_transform.py:256-271).
+    tf = None if is_augmix else build_transform(args)
+    loaded = build_dataset(args, train_tf=tf, raw_train=is_augmix)
 
     if args.data_expanded_dir:
         expanded = [
@@ -90,6 +94,24 @@ def main(argv=None):
     else:
         # no-expansion control: original x (expand_num+1) replicas (:245)
         train_ds = RepeatDataset(loaded.train, args.expand_num + 1)
+
+    if is_augmix:
+        from distdiff_tpu.data.transforms import (
+            Compose, IMAGENET_MEAN, IMAGENET_STD, Normalize, RandomCrop,
+            RandomHorizontalFlip, RandomRotation, Resize, ToArray,
+        )
+
+        size = args.input_size
+        pil_stage = Compose([
+            Resize(int(size * 256 / 224)), RandomRotation(15),
+            RandomCrop(size), RandomHorizontalFlip(),
+        ])
+        array_compose = Compose([ToArray(), Normalize(IMAGENET_MEAN,
+                                                      IMAGENET_STD)])
+        train_ds = AugMixDataset(
+            train_ds, pil_stage, lambda img: array_compose(img),
+            seed=args.manualSeed or 0,
+        )
 
     gm = build_model(args, loaded.num_classes)
     train_loader = BatchLoader(train_ds, args.train_batch, shuffle=True,
@@ -152,17 +174,19 @@ def main(argv=None):
     def lr_at_epoch(e):
         return args.lr * 0.5 * (1 + math.cos(math.pi * e / args.epochs))
 
-    if gridmask is not None:
-        base_on_batch = on_batch
-        epoch_holder = {"e": 0}
-
-        def on_batch(images, targets, mask):  # noqa: F811
-            gridmask.set_prob(epoch_holder["e"], args.epochs)
-            return base_on_batch(images, targets, mask)
+    # GridMask's prob ramps linearly with the epoch index (reference
+    # train_transform.py:381 hardcodes an 80-epoch ramp; clamped by the
+    # actual budget so short runs still apply the mask) — driven by
+    # fit's on_epoch.
+    on_epoch = (
+        (lambda e: gridmask.set_prob(e, min(80, args.epochs)))
+        if gridmask is not None else None
+    )
 
     result = fit(
         train_step, eval_step, state, train_loader, test_loader, cfg,
         ensure_dir(args.checkpoint), lr_at_epoch, on_batch=on_batch,
+        on_epoch=on_epoch,
     )
     print("Best acc:")
     print(result["best_accuracy"])

@@ -134,6 +134,15 @@ class TextEncoderConfig:
         return TextEncoderConfig()
 
     @staticmethod
+    def sdxl_big() -> "TextEncoderConfig":
+        """SDXL's text_encoder_2: OpenCLIP-bigG text tower (width 1280,
+        32 layers, plain gelu, projected pooled output)."""
+        return TextEncoderConfig(
+            hidden_size=1280, num_layers=32, num_heads=20,
+            activation="gelu", embed_dim=1280,
+        )
+
+    @staticmethod
     def tiny() -> "TextEncoderConfig":
         return TextEncoderConfig(
             vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
@@ -150,6 +159,8 @@ class PipelineConfig:
     text_encoder: TextEncoderConfig = dataclasses.field(
         default_factory=TextEncoderConfig.sd15
     )
+    # SDXL's second text encoder (OpenCLIP-bigG); None for SD-1.x.
+    text_encoder_2: Optional[TextEncoderConfig] = None
     sample_size: int = 512  # pixel resolution
     num_inference_steps: int = 50
 
@@ -165,6 +176,48 @@ class PipelineConfig:
     @staticmethod
     def sd15() -> "PipelineConfig":
         return PipelineConfig()
+
+    @staticmethod
+    def sdxl_base(sample_size: int = 1024) -> "PipelineConfig":
+        """SDXL-base: 3-block UNet (depths 0/2/10, 2048-d context, additive
+        pooled+size conditioning), SD VAE geometry, dual text encoders."""
+        return PipelineConfig(
+            unet=UNetConfig.sdxl_base(),
+            vae=VAEConfig.sd15(),
+            text_encoder=TextEncoderConfig.sd15(),
+            text_encoder_2=TextEncoderConfig.sdxl_big(),
+            sample_size=sample_size,
+        )
+
+    @staticmethod
+    def sdxl_tiny(sample_size: int = 32) -> "PipelineConfig":
+        """CPU-runnable SDXL-shaped toy: per-block depths, dual encoders,
+        additive conditioning — every SDXL code path at test scale."""
+        return PipelineConfig(
+            unet=UNetConfig(
+                block_out_channels=(16, 32, 64),
+                layers_per_block=1,
+                cross_attention=(False, True, True),
+                transformer_depth=(0, 1, 2),
+                num_attention_heads=(2, 2, 4),
+                cross_attention_dim=48,
+                addition_embed_dim=16 + 6 * 8,
+                dtype=jnp.float32,
+                remat=False,
+            ),
+            vae=VAEConfig.tiny(),
+            text_encoder=TextEncoderConfig(
+                vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+                max_length=16, dtype=jnp.float32,
+            ),
+            text_encoder_2=TextEncoderConfig(
+                vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+                max_length=16, embed_dim=16, activation="gelu",
+                dtype=jnp.float32,
+            ),
+            sample_size=sample_size,
+            num_inference_steps=10,
+        )
 
     @staticmethod
     def tiny(sample_size: int = 32) -> "PipelineConfig":

@@ -25,6 +25,22 @@ import numpy as np
 from PIL import Image, ImageOps
 
 
+# Global data-augmentation seed (set from --manualSeed via cli.common.
+# set_seed). Per-item RNG is derived as (seed, epoch, index) so the same
+# seed reproduces the same augmentation stream — the reference gets this
+# from global torch/np seeding (train.py:98-111).
+_DATA_SEED = [0]
+
+
+def set_data_seed(seed: int) -> None:
+    _DATA_SEED[0] = int(seed)
+
+
+def _item_rng(seed: Optional[int], epoch: int, idx: int) -> np.random.Generator:
+    s = _DATA_SEED[0] if seed is None else seed
+    return np.random.default_rng((s, epoch, idx))
+
+
 def load_image(path: str) -> Image.Image:
     img = Image.open(path)
     img = ImageOps.exif_transpose(img)
@@ -41,18 +57,24 @@ class ImageListDataset:
         image_paths: Sequence[str],
         labels: Sequence[int],
         transform: Optional[Callable] = None,
+        seed: Optional[int] = None,
     ):
         assert len(image_paths) == len(labels)
         self.image_paths = list(image_paths)
         self.labels = list(labels)
         self.transform = transform
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.image_paths)
 
     def __getitem__(self, idx: int):
         img = load_image(self.image_paths[idx])
-        rng = np.random.default_rng()
+        rng = _item_rng(self.seed, self.epoch, idx)
         if self.transform is not None:
             img = self.transform(img, rng)
         return img, self.labels[idx]
@@ -62,10 +84,16 @@ class ArrayDataset:
     """In-memory (N, H, W, C) uint8 images + labels (medmnist splits)."""
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None,
+                 seed: Optional[int] = None):
         self.images = images
         self.labels = np.asarray(labels).reshape(-1)
         self.transform = transform
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.images)
@@ -75,7 +103,7 @@ class ArrayDataset:
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         img = Image.fromarray(arr)
-        rng = np.random.default_rng()
+        rng = _item_rng(self.seed, self.epoch, idx)
         if self.transform is not None:
             img = self.transform(img, rng)
         return img, int(self.labels[idx])
@@ -125,6 +153,11 @@ class ConcatDataset:
         self.datasets = list(datasets)
         self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
 
+    def set_epoch(self, epoch: int) -> None:
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
@@ -141,6 +174,10 @@ class RepeatDataset:
         self.dataset = dataset
         self.times = times
 
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
     def __len__(self) -> int:
         return len(self.dataset) * self.times
 
@@ -152,6 +189,10 @@ class SubsetDataset:
     def __init__(self, dataset, indices: Sequence[int]):
         self.dataset = dataset
         self.indices = list(indices)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         return len(self.indices)
@@ -201,6 +242,8 @@ class BatchLoader:
         return idx
 
     def __iter__(self):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         idx = self._indices()
         bs = self.batch_size
         n_batches = len(self)

@@ -57,6 +57,7 @@ class SDDataset:
     ):
         self.dataset_name = dataset
         self.size = size
+        self.center_crop = center_crop
         self.rng = np.random.default_rng(seed)
         self.loaded = loaded if loaded is not None else load_dataset(
             dataset, data_root=data_root
@@ -91,9 +92,18 @@ class SDDataset:
 
     # ------------------------------------------------------------------
     def _cache_path(self, model_name: str, cache_root: str) -> str:
+        # Unlike the reference (512 hardcoded, dataloader.py:804), size and
+        # center_crop are live here — key the cache on them so re-running at
+        # another resolution can't silently reuse stale latents. The
+        # unsuffixed reference-convention name is kept for the default
+        # 512/no-crop geometry.
+        suffix = (
+            "" if (self.size == 512 and not self.center_crop)
+            else f"_{self.size}" + ("_cc" if self.center_crop else "")
+        )
         return os.path.join(
             cache_root, VAE_EMBED_DIR, self.dataset_name,
-            model_name.replace("/", "--"), "image_latents.npy",
+            model_name.replace("/", "--"), f"image_latents{suffix}.npy",
         )
 
     def _load_or_encode_latents(

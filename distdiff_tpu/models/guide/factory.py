@@ -56,6 +56,10 @@ class GuideModel:
     num_classes: int
     # set for open_clip_vit_b32: [num_classes, embed_dim] text features
     class_text_features: Optional[jnp.ndarray] = None
+    # converted OpenCLIP text tower (set when an OpenCLIP checkpoint was
+    # loaded) — used to build a REAL zero-shot head from class names
+    text_variables: Optional[Any] = None
+    logit_scale: Optional[float] = None
 
     def encode_image(self, x: jnp.ndarray, pooling: str = "avg") -> jnp.ndarray:
         return self.module.apply(
@@ -130,6 +134,13 @@ def create_model(
     )
     if weight_path:
         load_weights(gm, weight_path)
+    if (arch == "open_clip_vit_b32" and gm.class_text_features is None
+            and class_names is not None and gm.text_variables is not None):
+        # real zero-shot head from the converted OpenCLIP text tower
+        # (reference model_utils.py:74-85)
+        gm.class_text_features = jnp.asarray(build_zero_shot_text_features(
+            class_names, variables=gm.text_variables,
+        ))
     return gm
 
 
@@ -139,12 +150,15 @@ def build_zero_shot_text_features(
     bpe_path: Optional[str] = None,
     config=None,
     variables=None,
+    activation: str = "gelu",
 ) -> np.ndarray:
     """Encode class-template prompts into the CLIP contrastive space — the
     zero-shot head construction of the reference's ``wrap_clip_forward``
-    (``model_utils.py:14-27``). With no pretrained text tower this produces
-    a mechanically-correct random-feature head (tests/smoke); pass converted
-    OpenCLIP ``variables`` for a real head."""
+    (``model_utils.py:14-27``). Pass converted OpenCLIP ``variables``
+    (``GuideModel.text_variables``) for a real head; with no pretrained text
+    tower this produces a mechanically-correct random-feature head
+    (tests/smoke only). ``activation``: the reference's default checkpoint
+    is laion2b (plain gelu); OpenAI-CLIP towers use quick_gelu."""
     import jax
     import jax.numpy as jnp
 
@@ -156,6 +170,7 @@ def build_zero_shot_text_features(
         # CLIP ViT-B/32 text tower geometry
         config = TextEncoderConfig(
             hidden_size=512, num_layers=12, num_heads=8, embed_dim=512,
+            activation=activation, dtype=jnp.float32,
         )
     te = CLIPTextEncoder(config)
     tok = load_tokenizer(bpe_path, max_length=config.max_length,
@@ -173,7 +188,10 @@ def build_zero_shot_text_features(
 
 def load_weights(gm: GuideModel, path: str) -> None:
     """Load guide weights from an orbax dir, a numpy .npz of the flat tree,
-    or a torch ``checkpoint.pth.tar`` (reference format)."""
+    or a torch ``checkpoint.pth.tar`` (reference format). OpenCLIP
+    checkpoints (keys under ``visual.*`` — the reference's
+    ``save/open_clip_vit_b32_*_pretrained.pth``) are detected and converted
+    to BOTH towers."""
     if os.path.isdir(path):
         from distdiff_tpu.utils import checkpoints as ckpt
 
@@ -182,7 +200,54 @@ def load_weights(gm: GuideModel, path: str) -> None:
         flat = dict(np.load(path))
         gm.variables = _unflatten_into(gm.variables, flat)
     else:
-        gm.variables = _load_torch_state_dict(gm, path)
+        state = _read_torch_state(path)
+        if any(k.startswith("visual.") for k in state):
+            _load_openclip_into(gm, state)
+        else:
+            gm.variables = _load_torch_state_dict(gm, state, path)
+
+
+def _read_torch_state(path: str):
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return state
+
+
+def _load_openclip_into(gm: GuideModel, state) -> None:
+    from distdiff_tpu.weights.openclip import convert_openclip
+
+    state = {
+        (k[len("module."):] if k.startswith("module.") else k):
+        (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state.items()
+    }
+    visual, text, logit_scale = convert_openclip(state)
+    gm.variables = _retree_like(gm.variables, {"params": visual})
+    gm.text_variables = {"params": text}
+    gm.logit_scale = logit_scale
+
+
+def _retree_like(template, new):
+    """Shape-check ``new`` against ``template`` and cast leaves to jnp."""
+    t_flat = _flatten(template)
+    n_flat = _flatten(new)
+    missing = sorted(set(t_flat) - set(n_flat))
+    extra = sorted(set(n_flat) - set(t_flat))
+    mismatched = [k for k in t_flat if k in n_flat
+                  and tuple(np.shape(n_flat[k])) != tuple(np.shape(t_flat[k]))]
+    if missing or extra or mismatched:
+        raise ValueError(
+            f"OpenCLIP conversion mismatch: missing {missing[:5]}, "
+            f"extra {extra[:5]}, mismatched {mismatched[:5]}"
+        )
+    return _unflatten_into(template, n_flat)
 
 
 def _flatten(tree, prefix=""):
@@ -208,7 +273,8 @@ def _unflatten_into(template, flat):
 
 
 def _torch_key_to_ours(key: str) -> Optional[str]:
-    """Map torchvision/timm resnet-family state-dict names to our tree.
+    """Map torchvision/timm resnet-family AND mobilenetv2 state-dict names
+    to our tree (OpenCLIP goes through ``weights.openclip`` instead).
 
     The reference strips a ``module.`` DataParallel prefix the same way
     (``model_utils.py:89-102``).
@@ -224,16 +290,40 @@ def _torch_key_to_ours(key: str) -> Optional[str]:
             sub = "downsample_conv" if rest[1] == "0" else "downsample_bn"
             return f"{block}/{sub}/{rest[2]}"
         return f"{block}/{'/'.join(rest)}"
+    if parts[0] == "features":  # torchvision mobilenet_v2
+        return _mobilenet_torch_key(parts)
+    if parts[0] == "classifier" and len(parts) == 3:
+        # classifier.1.{weight,bias} (index 0 is Dropout)
+        return f"classifier/{parts[2]}"
     return "/".join(parts)
 
 
-def _load_torch_state_dict(gm: GuideModel, path: str):
-    import torch
+def _mobilenet_torch_key(parts) -> Optional[str]:
+    """torchvision ``features.*`` -> our MobileNetV2 names. Block layout:
+    features.0 stem, features.1..17 inverted residuals (features.1 has no
+    expand conv), features.18 head."""
+    fi = int(parts[1])
+    leaf = parts[-1]
+    if fi == 0:
+        return f"{'stem_conv' if parts[2] == '0' else 'stem_bn'}/{leaf}"
+    if fi == 18:
+        return f"{'head_conv' if parts[2] == '0' else 'head_bn'}/{leaf}"
+    block = f"block_{fi - 1}"
+    sub = parts[3:-1]  # between 'conv' and the leaf
+    if fi == 1:  # expand==1: conv.0.0 dw, conv.0.1 dw_bn, conv.1, conv.2
+        table = {("0", "0"): "dw_conv", ("0", "1"): "dw_bn",
+                 ("1",): "project_conv", ("2",): "project_bn"}
+    else:
+        table = {("0", "0"): "expand_conv", ("0", "1"): "expand_bn",
+                 ("1", "0"): "dw_conv", ("1", "1"): "dw_bn",
+                 ("2",): "project_conv", ("3",): "project_bn"}
+    name = table.get(tuple(sub))
+    if name is None:
+        return None
+    return f"{block}/{name}/{leaf}"
 
-    state = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(state, dict) and "state_dict" in state:
-        state = state["state_dict"]
 
+def _load_torch_state_dict(gm: GuideModel, state, path: str):
     params = _flatten(gm.variables.get("params", {}))
     stats = _flatten(gm.variables.get("batch_stats", {}))
     new_params = dict(params)
@@ -243,7 +333,8 @@ def _load_torch_state_dict(gm: GuideModel, path: str):
         ours = _torch_key_to_ours(tkey)
         if ours is None:
             continue
-        arr = tval.detach().cpu().numpy()
+        arr = (tval.detach().cpu().numpy() if hasattr(tval, "detach")
+               else np.asarray(tval))
         base, leaf = ours.rsplit("/", 1) if "/" in ours else ("", ours)
         if leaf == "weight":
             if arr.ndim == 4:  # conv OIHW -> HWIO

@@ -90,6 +90,39 @@ class CLIPTextEncoder(nn.Module):
             x = blk(x, causal)
         return self.final_layer_norm(x).astype(jnp.float32)
 
+    def penultimate_hidden(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Hidden state after all but the LAST block, WITHOUT the final
+        layer norm — SDXL's conditioning tap (diffusers
+        ``hidden_states[-2]`` with ``output_hidden_states=True``)."""
+        cfg = self.config
+        b, t = input_ids.shape
+        tok = self.token_embedding(input_ids)
+        x = tok + self.position_embedding[None, :t, :].astype(cfg.dtype)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        for blk in self.blocks[:-1]:
+            x = blk(x, causal)
+        return x.astype(jnp.float32)
+
+    def sdxl_outputs(self, input_ids: jnp.ndarray):
+        """(penultimate_hidden [B,T,D], pooled_projected [B,embed] or None)
+        in one pass — the pooled path runs the full stack + final LN +
+        projection, the conditioning tap skips the last block and the LN."""
+        cfg = self.config
+        b, t = input_ids.shape
+        tok = self.token_embedding(input_ids)
+        x = tok + self.position_embedding[None, :t, :].astype(cfg.dtype)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        for blk in self.blocks[:-1]:
+            x = blk(x, causal)
+        penult = x.astype(jnp.float32)
+        pooled = None
+        if cfg.embed_dim is not None:
+            x = self.blocks[-1](x, causal)
+            h = self.final_layer_norm(x).astype(jnp.float32)
+            eot = jnp.argmax(input_ids, axis=-1)
+            pooled = h[jnp.arange(h.shape[0]), eot] @ self.text_projection
+        return penult, pooled
+
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         """Last hidden state [B, T, D] — the SD conditioning path."""
         return self.hidden_states(input_ids)

@@ -54,7 +54,13 @@ class CLIPTokenizer:
     """BPE tokenizer with CLIP's vocab layout: 256 byte tokens, 256 byte
     tokens + '</w>', 48894 merge tokens, <|startoftext|>, <|endoftext|>."""
 
-    def __init__(self, bpe_path: str, max_length: int = 77):
+    def __init__(self, bpe_path: str, max_length: int = 77,
+                 vocab_path: Optional[str] = None):
+        """``bpe_path``: OpenAI ``bpe_simple_vocab_16e6.txt.gz`` or a HF
+        ``merges.txt`` (both start with a header line). ``vocab_path``: an
+        optional HF ``vocab.json`` giving the authoritative token->id map
+        (diffusers checkpoints ship both under ``tokenizer/``); without it
+        the standard CLIP layout is reconstructed from the merges."""
         self.max_length = max_length
         opener = gzip.open if bpe_path.endswith(".gz") else open
         with opener(bpe_path, "rt", encoding="utf-8") as f:
@@ -62,12 +68,18 @@ class CLIPTokenizer:
         merges = merges[1 : 49152 - 256 - 2 + 1]
         merges = [tuple(m.split()) for m in merges if m]
         self.byte_encoder = _bytes_to_unicode()
-        vocab = list(self.byte_encoder.values())
-        vocab = vocab + [v + "</w>" for v in vocab]
-        for m in merges:
-            vocab.append("".join(m))
-        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
-        self.encoder = {v: i for i, v in enumerate(vocab)}
+        if vocab_path:
+            import json
+
+            with open(vocab_path, encoding="utf-8") as f:
+                self.encoder = json.load(f)
+        else:
+            vocab = list(self.byte_encoder.values())
+            vocab = vocab + [v + "</w>" for v in vocab]
+            for m in merges:
+                vocab.append("".join(m))
+            vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+            self.encoder = {v: i for i, v in enumerate(vocab)}
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.bot = self.encoder["<|startoftext|>"]
         self.eot = self.encoder["<|endoftext|>"]
@@ -149,13 +161,54 @@ class HashTokenizer:
         return out
 
 
+def discover_bpe(checkpoint_dir: Optional[str]):
+    """Find the tokenizer files a diffusers checkpoint ships alongside its
+    weights (``{dir}/tokenizer/merges.txt`` + ``vocab.json``). Returns
+    (merges_path, vocab_path_or_None) or (None, None)."""
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None, None
+    for sub in ("tokenizer", "."):
+        m = os.path.join(checkpoint_dir, sub, "merges.txt")
+        if os.path.exists(m):
+            v = os.path.join(checkpoint_dir, sub, "vocab.json")
+            return m, (v if os.path.exists(v) else None)
+    return None, None
+
+
 def load_tokenizer(
     bpe_path: Optional[str] = None,
     max_length: int = 77,
     vocab_size: int = 49408,
+    checkpoint_dir: Optional[str] = None,
+    strict: bool = False,
 ):
-    """Best-effort: real CLIP BPE if a merges file is available, else hash."""
+    """Real CLIP BPE if a merges file is available, else hash stand-in.
+
+    Resolution order: explicit ``bpe_path`` -> ``DISTDIFF_CLIP_BPE`` env ->
+    auto-discovery inside ``checkpoint_dir`` (diffusers checkpoints ship
+    ``tokenizer/merges.txt``). With ``strict=True`` (real SD weights were
+    provided) the hash fallback RAISES instead of silently producing wrong
+    text conditioning — reference loads a real tokenizer unconditionally
+    (``generate_data.py:891-900``).
+    """
+    import logging
+
     bpe_path = bpe_path or os.environ.get("DISTDIFF_CLIP_BPE")
+    vocab_path = None
+    if not (bpe_path and os.path.exists(bpe_path)):
+        bpe_path, vocab_path = discover_bpe(checkpoint_dir)
     if bpe_path and os.path.exists(bpe_path):
-        return CLIPTokenizer(bpe_path, max_length=max_length)
+        return CLIPTokenizer(bpe_path, max_length=max_length,
+                             vocab_path=vocab_path)
+    msg = (
+        "no CLIP BPE merges file found (tried --bpe_path, $DISTDIFF_CLIP_BPE"
+        + (f", {checkpoint_dir}/tokenizer/merges.txt" if checkpoint_dir else "")
+        + ") — the HashTokenizer fallback produces ids that do NOT match "
+        "real CLIP text-encoder weights"
+    )
+    if strict:
+        raise RuntimeError(msg + "; refusing to run with real SD weights.")
+    logging.getLogger("distdiff.tokenizer").warning(
+        "%s; proceeding (synthetic/test run).", msg
+    )
     return HashTokenizer(vocab_size=vocab_size, max_length=max_length)

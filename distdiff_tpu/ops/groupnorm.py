@@ -1,9 +1,10 @@
 """Fused Pallas GroupNorm(+affine) — the UNet's hottest non-matmul op.
 
-Measured on v5e: a 3x3 conv at the SD hot shape runs ~38us (MXU peak) but a
-ResnetBlock takes ~330us — its two GroupNorms dominate via multiple
-HBM passes (reduce, reduce, normalize) in the XLA lowering. This kernel does
-ONE pass per batch row: the [HW, C] slab is staged in VMEM, per-group
+Measured on v5e (full-output-liveness slope harness, scripts/kernel_bench):
+a 3x3 conv at the SD hot shape (64^2 x 320, b2) runs ~160us (~48% MXU) and a
+ResnetBlock ~330us = two convs + this fused GN/silu — the unfused XLA
+GroupNorm paid multiple HBM passes (reduce, reduce, normalize). This kernel
+does ONE pass per batch row: the [HW, C] slab is staged in VMEM, per-group
 statistics come from two tiny 0/1-matrix matmuls (lane-segmented reductions
 are awkward on the VPU; the MXU does them for free), and the affine is
 folded into the final elementwise.

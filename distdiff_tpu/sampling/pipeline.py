@@ -42,6 +42,25 @@ from distdiff_tpu.schedulers import (
 GUIDE_INPUT_SIZE = 224
 
 
+def _clamp_window(guidance_type: str, start: int, g0: int, g1: int):
+    """Clamp the guidance window to the img2img start index.
+
+    The reference's hot loop only visits step indices >= start_index, so a
+    window that begins before it never triggers (transform guidance's single
+    trigger at g0 is skipped entirely; direct guidance runs only the
+    surviving [max(g0, start), g1) steps) — ``generate_data.py:1190-1215``.
+    With e.g. ``--strength 0.3`` and the default guidance_step 20, start=35
+    exceeds g0=30 and the reference simply produces an unguided sample.
+    Returns (guided, g0_clamped).
+    """
+    if guidance_type == "transform_guidance":
+        if g0 < start:
+            return False, g0
+        return True, g0
+    g0 = max(g0, start)
+    return g0 < g1, g0
+
+
 @dataclasses.dataclass
 class ExpansionPipeline:
     """Bundle of modules + params with compiled entry points."""
@@ -58,6 +77,7 @@ class ExpansionPipeline:
     global_protos: Optional[jnp.ndarray] = None
     local_protos: Optional[jnp.ndarray] = None
     strength: float = 0.5
+    offset_noise: bool = False
 
     # ---- construction ----
     @staticmethod
@@ -70,6 +90,7 @@ class ExpansionPipeline:
         global_protos=None,
         local_protos=None,
         strength: float = 0.5,
+        offset_noise: bool = False,
         seed: int = 0,
         lazy_params: bool = False,
     ) -> "ExpansionPipeline":
@@ -99,6 +120,7 @@ class ExpansionPipeline:
                 jnp.asarray(local_protos) if local_protos is not None else None
             ),
             strength=strength,
+            offset_noise=offset_noise,
         )
 
     # ---- raw building blocks (pure functions of explicit params) ----
@@ -194,6 +216,8 @@ class ExpansionPipeline:
         guided = gcfg.guidance_type in ("transform_guidance", "direct_guidance")
         if guided:
             g0, g1 = guidance_window(sched, gcfg.guidance_step, gcfg.guidance_period)
+            guided, g0 = _clamp_window(gcfg.guidance_type, start, g0, g1)
+        if guided:
             ctx = self.guidance_context()
 
         decode = self.decode_latents
@@ -218,7 +242,8 @@ class ExpansionPipeline:
                     )
             else:
                 latents, _ = img2img_init(
-                    sched, image_latents, k_noise, self.strength
+                    sched, image_latents, k_noise, self.strength,
+                    offset_noise=self.offset_noise,
                 )
             if not guided:
                 latents = denoise_range(
@@ -314,6 +339,10 @@ class SplitExpand:
             self.g0, self.g1 = guidance_window(
                 sched, gcfg.guidance_step, gcfg.guidance_period
             )
+            self.guided, self.g0 = _clamp_window(
+                gcfg.guidance_type, self.start, self.g0, self.g1
+            )
+        if self.guided:
             self.ctx = pipe.guidance_context()
 
         def init_fn(params, image_latents, keys):
@@ -327,7 +356,8 @@ class SplitExpand:
                 return jax.random.normal(
                     k_noise, image_latents.shape, jnp.float32
                 )
-            lat, _ = img2img_init(sched, image_latents, k_noise, pipe.strength)
+            lat, _ = img2img_init(sched, image_latents, k_noise, pipe.strength,
+                                  offset_noise=pipe.offset_noise)
             return lat
 
         def span_fn(params, x, cond, uncond, lo, hi):

@@ -113,20 +113,37 @@ def img2img_init(
     image_latents: jnp.ndarray,
     key: jax.Array,
     strength: float,
+    offset_noise: bool = False,
 ) -> Tuple[jnp.ndarray, int]:
     """SDEdit entry: noise cached VAE latents to the strength-indexed
     timestep (``generate_data.py:1161-1176``). Returns (latents, start_idx).
 
     ``key`` may be a single key (one draw for the whole batch) or a
-    per-sample [B] key array (noise independent of batch composition)."""
+    per-sample [B] key array (noise independent of batch composition).
+    ``offset_noise`` adds 0.1x a per-(sample, channel) scalar draw to the
+    noise (``--offset_noise``, ``generate_data.py:1164-1168``; reference
+    shape [B, C, 1, 1] — [B, 1, 1, C] in our NHWC layout)."""
     start = img2img_start_index(sched, strength)
     t_enc = sched.timesteps[start]
+
+    def draw(k, x, batched):
+        n = jax.random.normal(k, x.shape, jnp.float32)
+        if offset_noise:
+            # one scalar per (sample, channel): [B,1,1,C] batched,
+            # [1,1,C] inside the per-sample vmap
+            lead = (x.shape[0],) if batched else ()
+            off = jax.random.normal(
+                jax.random.fold_in(k, 0x0FF5E7),
+                lead + (1,) * (x.ndim - 1 - len(lead)) + (x.shape[-1],),
+                jnp.float32,
+            )
+            n = n + 0.1 * off
+        return n
+
     if key.ndim >= 1 and key.shape[0] == image_latents.shape[0]:
-        noise = jax.vmap(
-            lambda k, x: jax.random.normal(k, x.shape, jnp.float32)
-        )(key, image_latents)
+        noise = jax.vmap(lambda k, x: draw(k, x, False))(key, image_latents)
     else:
-        noise = jax.random.normal(key, image_latents.shape, jnp.float32)
+        noise = draw(key, image_latents, image_latents.ndim == 4)
     noisy = add_noise(sched, image_latents.astype(jnp.float32), noise, t_enc)
     return noisy.astype(image_latents.dtype), start
 

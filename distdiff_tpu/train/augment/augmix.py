@@ -21,17 +21,21 @@ def augment_and_mix(
     width: int = 3,
     depth: int = -1,
     alpha: float = 1.0,
+    rng=None,
 ) -> np.ndarray:
-    ws = np.float32(np.random.dirichlet([alpha] * width))
-    m = np.float32(np.random.beta(alpha, alpha))
+    r = rng if rng is not None else np.random.default_rng(
+        np.random.randint(2**31)
+    )
+    ws = np.float32(r.dirichlet([alpha] * width))
+    m = np.float32(r.beta(alpha, alpha))
 
     mix = np.zeros_like(to_array(image), np.float32)
     for i in range(width):
         image_aug = image.copy()
-        d = depth if depth > 0 else np.random.randint(1, 4)
+        d = depth if depth > 0 else int(r.integers(1, 4))
         for _ in range(d):
-            op = AUGMENTATIONS[np.random.randint(len(AUGMENTATIONS))]
-            image_aug = op(image_aug, severity)
+            op = AUGMENTATIONS[int(r.integers(len(AUGMENTATIONS)))]
+            image_aug = op(image_aug, severity, rng=r)
         mix += ws[i] * to_array(image_aug)
     return (1 - m) * to_array(image) + m * mix
 
@@ -40,7 +44,7 @@ class AugMixDataset:
     """Returns ((clean, augmix1, augmix2), target) triples for the JSD loss."""
 
     def __init__(self, dataset, pil_stage: Callable, array_stage: Callable,
-                 k: int = 3, severity: int = 3):
+                 k: int = 3, severity: int = 3, seed: int = 0):
         """``pil_stage``: geometric transform producing the PIL crop;
         ``array_stage``: PIL -> normalized array. The base ``dataset`` must
         yield raw PIL images when its transform is None."""
@@ -48,17 +52,24 @@ class AugMixDataset:
         self.pil_stage = pil_stage
         self.array_stage = array_stage
         self.severity = severity
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         return len(self.dataset)
 
     def __getitem__(self, idx):
         img, target = self.dataset[idx]
-        rng = np.random.default_rng()
+        rng = np.random.default_rng((self.seed, self.epoch, idx))
         img = self.pil_stage(img, rng)
         clean = self.array_stage(img)
-        a1 = augment_and_mix(img, self.array_stage, self.severity)
-        a2 = augment_and_mix(img, self.array_stage, self.severity)
+        a1 = augment_and_mix(img, self.array_stage, self.severity, rng=rng)
+        a2 = augment_and_mix(img, self.array_stage, self.severity, rng=rng)
         return np.stack([clean, a1, a2]), target
 
 

@@ -2,92 +2,123 @@
 plus the transform-level policies ``train_transform.py`` selects via
 ``--transform_type`` (randaug / autoaug / cutout, ``:101-144``).
 
-Ops operate on PIL images sized dynamically (the reference hardcodes
-IMAGE_SIZE=32 for translate scaling; we scale by the actual image size).
+Severity semantics match the reference bank exactly: every application draws
+``sample_level(n)`` — uniform in [0.1, n] — then scales by maxval/10
+(``augmentations/augmentations.py:10-38``). Ops operate on PIL images sized
+dynamically (the reference hardcodes IMAGE_SIZE=32 for translate scaling; we
+scale by the actual image size). All ops accept an optional numpy Generator
+so the seeded per-item RNG controls them; without one they fall back to the
+global numpy stream.
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Callable, List
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
 
-def _level(severity: int, maxval: float) -> float:
-    return float(severity) * maxval / 10.0
+def _rng(rng):
+    return rng if rng is not None else np.random.default_rng(
+        np.random.randint(2**31)
+    )
 
 
-def autocontrast(img, severity=1):
+def sample_level(n: float, rng=None) -> float:
+    """Uniform in [0.1, n] per application (augmentations.py:36-38)."""
+    return float(_rng(rng).uniform(0.1, n))
+
+
+def _int_param(level: float, maxval: float) -> int:
+    return int(level * maxval / 10)
+
+
+def _float_param(level: float, maxval: float) -> float:
+    return float(level) * maxval / 10.0
+
+
+def autocontrast(img, severity=1, rng=None):
     return ImageOps.autocontrast(img)
 
 
-def equalize(img, severity=1):
+def equalize(img, severity=1, rng=None):
     return ImageOps.equalize(img)
 
 
-def posterize(img, severity=1):
-    bits = 4 - int(_level(severity, 4))
+def posterize(img, severity=1, rng=None):
+    bits = 4 - _int_param(sample_level(severity, rng), 4)
     return ImageOps.posterize(img, max(1, bits))
 
 
-def rotate(img, severity=1):
-    deg = _level(severity, 30)
-    if np.random.rand() > 0.5:
+def rotate(img, severity=1, rng=None):
+    r = _rng(rng)
+    deg = _int_param(sample_level(severity, r), 30)
+    if r.random() > 0.5:
         deg = -deg
     return img.rotate(deg, resample=Image.BILINEAR)
 
 
-def solarize(img, severity=1):
-    return ImageOps.solarize(img, 256 - int(_level(severity, 256)))
+def solarize(img, severity=1, rng=None):
+    return ImageOps.solarize(
+        img, 256 - _int_param(sample_level(severity, rng), 256)
+    )
 
 
 def _affine(img, matrix):
     return img.transform(img.size, Image.AFFINE, matrix, resample=Image.BILINEAR)
 
 
-def shear_x(img, severity=1):
-    s = _level(severity, 0.3)
-    if np.random.rand() > 0.5:
+def shear_x(img, severity=1, rng=None):
+    r = _rng(rng)
+    s = _float_param(sample_level(severity, r), 0.3)
+    if r.random() > 0.5:
         s = -s
     return _affine(img, (1, s, 0, 0, 1, 0))
 
 
-def shear_y(img, severity=1):
-    s = _level(severity, 0.3)
-    if np.random.rand() > 0.5:
+def shear_y(img, severity=1, rng=None):
+    r = _rng(rng)
+    s = _float_param(sample_level(severity, r), 0.3)
+    if r.random() > 0.5:
         s = -s
     return _affine(img, (1, 0, 0, s, 1, 0))
 
 
-def translate_x(img, severity=1):
-    t = _level(severity, img.size[0] / 3)
-    if np.random.rand() > 0.5:
+def translate_x(img, severity=1, rng=None):
+    r = _rng(rng)
+    t = _int_param(sample_level(severity, r), img.size[0] / 3)
+    if r.random() > 0.5:
         t = -t
     return _affine(img, (1, 0, t, 0, 1, 0))
 
 
-def translate_y(img, severity=1):
-    t = _level(severity, img.size[1] / 3)
-    if np.random.rand() > 0.5:
+def translate_y(img, severity=1, rng=None):
+    r = _rng(rng)
+    t = _int_param(sample_level(severity, r), img.size[1] / 3)
+    if r.random() > 0.5:
         t = -t
     return _affine(img, (1, 0, 0, 0, 1, t))
 
 
-def color(img, severity=1):
-    return ImageEnhance.Color(img).enhance(0.1 + 1.8 * np.random.rand())
+def color(img, severity=1, rng=None):
+    lv = _float_param(sample_level(severity, rng), 1.8) + 0.1
+    return ImageEnhance.Color(img).enhance(lv)
 
 
-def contrast(img, severity=1):
-    return ImageEnhance.Contrast(img).enhance(0.1 + 1.8 * np.random.rand())
+def contrast(img, severity=1, rng=None):
+    lv = _float_param(sample_level(severity, rng), 1.8) + 0.1
+    return ImageEnhance.Contrast(img).enhance(lv)
 
 
-def brightness(img, severity=1):
-    return ImageEnhance.Brightness(img).enhance(0.1 + 1.8 * np.random.rand())
+def brightness(img, severity=1, rng=None):
+    lv = _float_param(sample_level(severity, rng), 1.8) + 0.1
+    return ImageEnhance.Brightness(img).enhance(lv)
 
 
-def sharpness(img, severity=1):
-    return ImageEnhance.Sharpness(img).enhance(0.1 + 1.8 * np.random.rand())
+def sharpness(img, severity=1, rng=None):
+    lv = _float_param(sample_level(severity, rng), 1.8) + 0.1
+    return ImageEnhance.Sharpness(img).enhance(lv)
 
 
 # AugMix's default bank excludes the color ops that overlap ImageNet-C
@@ -103,16 +134,19 @@ AUGMENTATIONS_ALL: List[Callable] = AUGMENTATIONS + [
 
 
 class RandAugment:
-    """Apply N random ops at magnitude M (transform-level 'randaug')."""
+    """Apply N random ops at magnitude M (transform-level 'randaug'; the
+    reference delegates to torchvision.transforms.RandAugment — this is the
+    equivalent built on the local op bank)."""
 
     def __init__(self, n: int = 2, m: int = 9):
         self.n = n
         self.m = m
 
     def __call__(self, img: Image.Image, rng=None) -> Image.Image:
-        ops = np.random.choice(len(AUGMENTATIONS_ALL), self.n)
+        r = _rng(rng)
+        ops = r.choice(len(AUGMENTATIONS_ALL), self.n)
         for oi in ops:
-            img = AUGMENTATIONS_ALL[oi](img, severity=self.m)
+            img = AUGMENTATIONS_ALL[oi](img, severity=self.m, rng=r)
         return img
 
 
@@ -134,10 +168,11 @@ class AutoAugmentCIFAR:
     ]
 
     def __call__(self, img: Image.Image, rng=None) -> Image.Image:
-        policy = self._POLICIES[np.random.randint(len(self._POLICIES))]
+        r = _rng(rng)
+        policy = self._POLICIES[r.integers(len(self._POLICIES))]
         for op, prob, severity in policy:
-            if np.random.rand() < prob:
-                img = op(img, severity=severity)
+            if r.random() < prob:
+                img = op(img, severity=severity, rng=r)
         return img
 
 
@@ -148,9 +183,10 @@ class Cutout:
         self.length = length
 
     def __call__(self, arr: np.ndarray, rng=None) -> np.ndarray:
+        r = _rng(rng)
         h, w = arr.shape[:2]
-        y = np.random.randint(h)
-        x = np.random.randint(w)
+        y = int(r.integers(h))
+        x = int(r.integers(w))
         y1, y2 = np.clip([y - self.length // 2, y + self.length // 2], 0, h)
         x1, x2 = np.clip([x - self.length // 2, x + self.length // 2], 0, w)
         arr = arr.copy()

@@ -59,6 +59,7 @@ def fit(
     start_epoch: int = 0,
     best_acc: float = 0.0,
     on_batch: Optional[Callable] = None,
+    on_epoch: Optional[Callable] = None,
     log_stdout: bool = True,
 ) -> dict:
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -70,6 +71,10 @@ def fit(
     test_acc = 0.0
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
+        if on_epoch is not None:
+            # epoch-indexed augmentation state (e.g. GridMask's prob ramp,
+            # reference train_transform.py:379-382)
+            on_epoch(epoch)
         lr = lr_at_epoch(epoch)
         state, train_loss, train_acc = run_epoch(
             train_step, state, train_loader, on_batch

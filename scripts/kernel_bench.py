@@ -47,10 +47,15 @@ def device_time(fn, args, iters: int, perturb_index: int = 0):
                 a2 = list(args)
                 a2[perturb_index] = a
                 out = fn(*a2)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                # fold a cheap output summary back into the perturbed input
-                # so iterations are sequentially dependent (no overlap/elide)
-                s = jnp.sum(leaf[..., :1].astype(jnp.float32)) * 1e-20
+                # Fold the FULL output (every leaf, every column) back into
+                # the perturbed input so iterations are sequentially
+                # dependent AND nothing is dead. A [..., :1] summary lets
+                # XLA DCE the unconsumed output columns of the timed op
+                # (conv timings come out ~4x fast — see CLAUDE.md).
+                s = sum(
+                    jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree_util.tree_leaves(out)
+                ) * 1e-20
                 return (acc + s, a + s.astype(a.dtype)), None
 
             (acc, _), _ = jax.lax.scan(

