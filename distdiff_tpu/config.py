@@ -250,6 +250,13 @@ class GuidanceConfig:
     # Guide-encoder input resolution (224 bicubic in the reference,
     # generate_data.py:704; smaller for CPU-runnable test configs).
     guide_input_size: int = 224
+    # Rollout rematerialisation for the guidance backward:
+    #   "step"  — jax.checkpoint around each rollout step ON TOP of the
+    #             models' inner nn.remat (lowest HBM; backward recomputes
+    #             each forward twice: once for the step, once per block)
+    #   "block" — inner nn.remat only (backward recomputes each forward
+    #             once; needs enough HBM for the step-boundary tensors)
+    rollout_remat: str = "step"
 
     def wants_global(self) -> bool:
         return "global_prototype" in self.optimize_targets

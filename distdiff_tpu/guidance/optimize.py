@@ -111,12 +111,13 @@ def transform_guidance(
         gamma, beta = gb
         x = (lat32 * (1.0 + gamma) + beta).astype(latents.dtype)
         score = jnp.zeros(latents.shape[0], jnp.float32)
-        step = jax.checkpoint(
-            lambda xx, ii: _step_energy(
-                ctx, params, xx, ii, cond, uncond, targets, do_norm
-            ),
-            static_argnums=(1,),
+        step = lambda xx, ii: _step_energy(  # noqa: E731
+            ctx, params, xx, ii, cond, uncond, targets, do_norm
         )
+        if cfg.rollout_remat == "step":
+            # outer remat on top of the models' inner nn.remat: minimal HBM,
+            # backward pays one extra forward recompute per step
+            step = jax.checkpoint(step, static_argnums=(1,))
         for i in range(window_start, window_start + cfg.guidance_period):
             x, e = step(x, i)
             score = score + e

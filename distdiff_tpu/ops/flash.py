@@ -11,9 +11,13 @@ Because DistDiff's energy guidance differentiates *through* the UNet
 (split dq / dkv accumulation with the saved logsumexp), wired up via
 ``jax.custom_vjp``.
 
-Shapes/layout: q ``[B, Tq, H, D]``, k/v ``[B, Tk, H, D]``; head_dim is
-zero-padded to the 128-lane width (free on the MXU — the contraction dim is
-128 wide regardless), sequence lengths padded to the block size and masked.
+Shapes/layout: q ``[B, Tq, H, D]``, k/v ``[B, Tk, H, D]``. Head dim stays
+UNPADDED in HBM (D=40 padded to 128 lanes only inside VMEM tiles — padding
+in HBM tripled the attention's memory traffic for SD's 40-wide heads);
+sequence lengths are padded to the block size and masked. The MXU cost of
+a 40-wide contraction equals a 128-wide one (the systolic array processes
+K in 128-chunks), so D<128 attention has a hard ~D/128 efficiency ceiling —
+the kernel's job is to not add HBM traffic on top of it.
 """
 
 from __future__ import annotations
@@ -28,6 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+# lse/delta are per-row scalars; store them 8 lanes wide (the fp32 sublane
+# granularity) instead of a full 128-lane replica — a [B*H, 4096, 128] f32
+# lse was 268MB of pure HBM write per 64^2 self-attention layer.
+STAT_LANES = 8
 NEG_INF = -1e30
 
 # Interpreter mode lets the kernels run (slowly) off-TPU, e.g. in the CPU
@@ -44,14 +52,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_blocks(tq: int, tk: int, dp: int = 128):
+def _pick_blocks(tq: int, tk: int, d: int = 128):
     # Swept on v5e at the SD hot shape (B2 T4096 H8 D40): large kv blocks
     # amortize the online-softmax rescale — bk 2048-4096 runs ~2.5x faster
     # than 512 (scripts/flash_sweep.py). Env overrides for tuning.
     # Large head dims (the VAE's single 512-wide head) scale the caps down
-    # to keep kernel VMEM (blocks + f32 scratch) under the ~16MB budget.
+    # to keep kernel VMEM (blocks + f32 scratch, lane-padded) under budget.
     bq_cap = int(os.environ.get("DISTDIFF_FLASH_BQ", "512"))
     bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK", "2048"))
+    dp = max(_round_up(d, LANES), LANES)  # VMEM lane footprint
     if dp > 128:
         shrink = dp // 128
         bq_cap = max(256, bq_cap // shrink)
@@ -102,7 +111,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale, 
     def _():
         l_final = l_s[:, :1]
         o_ref[0] = (acc_s[...] / l_final).astype(o_ref.dtype)
-        lse_ref[0] = m_s[...] + jnp.log(l_s[...])
+        lse_ref[0] = (m_s[...] + jnp.log(l_s[...]))[:, :STAT_LANES]
 
 
 def _flash_fwd_3d(q, k, v, *, scale, kv_len, block_q, block_k):
@@ -120,11 +129,11 @@ def _flash_fwd_3d(q, k, v, *, scale, kv_len, block_q, block_k):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
-            jax.ShapeDtypeStruct((bh, tqp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tqp, STAT_LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -220,7 +229,7 @@ def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k
     delta = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )
-    delta = jnp.broadcast_to(delta, (bh, tqp, LANES))
+    delta = jnp.broadcast_to(delta, (bh, tqp, STAT_LANES))
 
     dq = _pallas_call(
         functools.partial(_dq_kernel, scale=scale, kv_len=kv_len),
@@ -230,8 +239,8 @@ def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k
             pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
@@ -246,8 +255,8 @@ def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k
             pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda b, j, i: (b, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
@@ -268,17 +277,20 @@ def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k
 # ------------------------------------------------------------- public op
 
 def _prep(q, k, v):
-    """[B,T,H,D] -> padded [B*H, Tp, Dp] plus the padding bookkeeping."""
+    """[B,T,H,D] -> head-major [B*H, Tp, D] (time padded to the block size;
+    D deliberately NOT padded — lanes pad inside VMEM tiles for free, while
+    padding in HBM would 3.2x the traffic at SD's D=40)."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    dp = max(_round_up(d, LANES), LANES)
-    block_q, block_k = _pick_blocks(tq, tk, dp)
+    block_q, block_k = _pick_blocks(tq, tk, d)
     tqp = _round_up(tq, block_q)
     tkp = _round_up(tk, block_k)
 
     def to3d(x, tp):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
-        return jnp.pad(x, ((0, 0), (0, tp - x.shape[1]), (0, dp - d)))
+        if tp != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, tp - x.shape[1]), (0, 0)))
+        return x
 
     return (to3d(q, tqp), to3d(k, tkp), to3d(v, tkp), block_q, block_k,
             (b, h, tq, tk, d))

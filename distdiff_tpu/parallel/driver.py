@@ -123,19 +123,35 @@ class ExpansionDriver:
         t0 = time.time()
         written = 0
         pending = []
+        # Keep one batch in flight: JAX dispatch is async, so the host
+        # fetches/encodes batch i while the device runs batch i+1 (the
+        # np.asarray sync otherwise serializes device and host work).
+        from collections import deque
+
+        inflight = deque()
+
+        def drain():
+            nonlocal written
+            chunk_, mask_, dev_images = inflight.popleft()
+            host = np.asarray(dev_images)  # sync THIS batch only
+            for u, m, img in zip(chunk_, mask_, host):
+                if not m:
+                    continue
+                pending.append(self._writers.submit(save_png, u.out_path, img))
+                written += 1
+
         for bi, (chunk, mask) in enumerate(chunks):
             latents, cond, uncond, targets, keys = self._batch_arrays(chunk)
             images = self._expand(
                 self._params, latents, cond, uncond, targets, keys
             )
-            images = np.asarray(images)  # device -> host
-            for u, m, img in zip(chunk, mask, images):
-                if not m:
-                    continue
-                pending.append(self._writers.submit(save_png, u.out_path, img))
-                written += 1
+            inflight.append((chunk, mask, images))
+            if len(inflight) >= 2:
+                drain()
             if progress is not None:
                 progress(bi + 1, len(chunks))
+        while inflight:
+            drain()
         for f in pending:
             f.result()
         dt = time.time() - t0

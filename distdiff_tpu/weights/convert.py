@@ -125,16 +125,18 @@ def transform_tensor(our_path: str, arr: np.ndarray) -> Tuple[str, np.ndarray]:
         return our_path, arr.T
     if leafname == "weight":
         is_norm = any(h in parent for h in _NORM_HINTS) or arr.ndim == 1
-        if arr.ndim == 4:  # conv OIHW -> HWIO
+        if arr.ndim == 4:
+            if (parent in ("proj_in", "proj_out", "conv_shortcut")
+                    and arr.shape[2:] == (1, 1)):
+                # 1x1 convs our modules express as channel Dense:
+                # [out, in, 1, 1] -> [in, out]
+                return ("/".join(parts[:-1] + ["kernel"]), arr[:, :, 0, 0].T)
+            # conv OIHW -> HWIO
             return "/".join(parts[:-1] + ["kernel"]), arr.transpose(2, 3, 1, 0)
         if arr.ndim == 2:
-            if parent in ("proj_in", "proj_out"):
-                # SDXL Transformer2D uses LINEAR projections; our module is
-                # a 1x1 Conv either way — [out, in] -> [1, 1, in, out]
-                return ("/".join(parts[:-1] + ["kernel"]),
-                        arr.T[None, None, :, :])
-            # linear [out, in] -> [in, out]; VAE attention projections are
-            # Dense in our model even where diffusers uses 2D weights.
+            # linear [out, in] -> [in, out]; covers SDXL's linear proj_in/out
+            # and the VAE attention projections (Dense in our model even
+            # where diffusers uses 2D weights).
             return "/".join(parts[:-1] + ["kernel"]), arr.T
         if is_norm:
             return "/".join(parts[:-1] + ["scale"]), arr

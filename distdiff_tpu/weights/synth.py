@@ -22,19 +22,17 @@ from distdiff_tpu.weights.sd15_geometry import (
     sd15_text_state_shapes,
     sd15_unet_state_shapes,
     sd15_vae_state_shapes,
+    sdxl_unet_state_shapes,
 )
 
 
 def state_shapes_for_config(config):
-    """The diffusers state-dict key/shape sets for a PipelineConfig."""
+    """The diffusers state-dict key/shape sets for a PipelineConfig.
+    SDXL configs (text_encoder_2 set / addition_embed_dim) get the SDXL
+    layout: per-block transformer depth, linear projections, add_embedding,
+    plus a projected ``text_2`` encoder."""
     u, v, t = config.unet, config.vae, config.text_encoder
-    return {
-        "unet": sd15_unet_state_shapes(
-            chans=u.block_out_channels, layers=u.layers_per_block,
-            ctx=u.cross_attention_dim, cross_attention=u.cross_attention,
-            in_channels=u.in_channels, out_channels=u.out_channels,
-            temb_mult=u.time_embed_dim_mult,
-        ),
+    out = {
         "vae": sd15_vae_state_shapes(
             chans=v.block_out_channels, layers=v.layers_per_block,
             lat=v.latent_channels,
@@ -44,6 +42,34 @@ def state_shapes_for_config(config):
             layers=t.num_layers, vocab=t.vocab_size, pos=t.max_length,
         ),
     }
+    if u.addition_embed_dim is not None:
+        depth = u.transformer_depth
+        if not isinstance(depth, (tuple, list)):
+            depth = tuple(depth for _ in u.block_out_channels)
+        out["unet"] = sdxl_unet_state_shapes(
+            chans=u.block_out_channels, layers=u.layers_per_block,
+            ctx=u.cross_attention_dim, cross_attention=u.cross_attention,
+            transformer_depth=depth,
+            addition_embed_dim=u.addition_embed_dim,
+            in_channels=u.in_channels, out_channels=u.out_channels,
+            temb_mult=u.time_embed_dim_mult,
+        )
+    else:
+        out["unet"] = sd15_unet_state_shapes(
+            chans=u.block_out_channels, layers=u.layers_per_block,
+            ctx=u.cross_attention_dim, cross_attention=u.cross_attention,
+            in_channels=u.in_channels, out_channels=u.out_channels,
+            temb_mult=u.time_embed_dim_mult,
+        )
+    t2 = config.text_encoder_2
+    if t2 is not None:
+        shapes2 = sd15_text_state_shapes(
+            d=t2.hidden_size, ff=t2.hidden_size * t2.mlp_ratio,
+            layers=t2.num_layers, vocab=t2.vocab_size, pos=t2.max_length,
+        )
+        shapes2["text_projection.weight"] = (t2.embed_dim, t2.hidden_size)
+        out["text_2"] = shapes2
+    return out
 
 
 def write_synth_tokenizer(checkpoint_dir: str, vocab_size: int) -> None:
@@ -75,6 +101,7 @@ _COMPONENT_FILES = {
     "unet": ("unet", "diffusion_pytorch_model.safetensors"),
     "vae": ("vae", "diffusion_pytorch_model.safetensors"),
     "text": ("text_encoder", "model.safetensors"),
+    "text_2": ("text_encoder_2", "model.safetensors"),
 }
 
 
@@ -97,7 +124,8 @@ def write_synth_checkpoint(
     config = config or PipelineConfig.sd15()
     shapes = state_shapes_for_config(config)
     rng = np.random.default_rng(seed)
-    for comp, (sub, fname) in _COMPONENT_FILES.items():
+    for comp in shapes:
+        sub, fname = _COMPONENT_FILES[comp]
         d = os.path.join(checkpoint_dir, sub)
         os.makedirs(d, exist_ok=True)
         state = {
