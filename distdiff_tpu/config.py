@@ -251,11 +251,15 @@ class GuidanceConfig:
     # generate_data.py:704; smaller for CPU-runnable test configs).
     guide_input_size: int = 224
     # Rollout rematerialisation for the guidance backward:
-    #   "step"  — jax.checkpoint around each rollout step ON TOP of the
-    #             models' inner nn.remat (lowest HBM; backward recomputes
-    #             each forward twice: once for the step, once per block)
-    #   "block" — inner nn.remat only (backward recomputes each forward
-    #             once; needs enough HBM for the step-boundary tensors)
+    #   "step"   — jax.checkpoint around each rollout step ON TOP of the
+    #              models' inner nn.remat (lowest HBM; backward recomputes
+    #              each forward twice: once for the step, once per block)
+    #   "decode" — checkpoint ONLY the VAE-decode+guide-encode leg (its
+    #              residual is the tiny pred-x0 latents); UNet steps rely
+    #              on inner nn.remat alone — saves one UNet forward
+    #              recompute per rollout step vs "step"
+    #   "block"  — inner nn.remat only (OOMs at batch 8 on v5e-1: the
+    #              512^2 VAE decoder block activations don't fit)
     rollout_remat: str = "step"
 
     def wants_global(self) -> bool:

@@ -52,13 +52,18 @@ class GuidanceContext:
 
 
 def _step_energy(ctx: GuidanceContext, params, x, i, cond, uncond, targets,
-                 do_normalize: bool):
+                 do_normalize: bool, remat_decode: bool = False):
     """One DDIM step + decode + encode + per-sample energies [B].
-    Remat'd in rollouts."""
+    Remat'd in rollouts. ``remat_decode`` checkpoints ONLY the
+    decode+encode leg (its residual is just the [B,h,w,4] pred-x0 latents;
+    the VAE decoder's 512^2 block activations are the rollout's HBM hog)."""
     t = ctx.sched.timesteps[i]
     eps = ctx.eps_fn(params, x, t, cond, uncond)
     x_next, x0 = ddim_step(ctx.sched, eps, i, x)
-    feats = ctx.encode_fn(params, ctx.decode_fn(params, x0))
+    feat_fn = lambda p, z: ctx.encode_fn(p, ctx.decode_fn(p, z))  # noqa: E731
+    if remat_decode:
+        feat_fn = jax.checkpoint(feat_fn)
+    feats = feat_fn(params, x0)
     if do_normalize:
         feats = normalize(feats)
     e = hierarchical_energy_per_sample(
@@ -112,7 +117,8 @@ def transform_guidance(
         x = (lat32 * (1.0 + gamma) + beta).astype(latents.dtype)
         score = jnp.zeros(latents.shape[0], jnp.float32)
         step = lambda xx, ii: _step_energy(  # noqa: E731
-            ctx, params, xx, ii, cond, uncond, targets, do_norm
+            ctx, params, xx, ii, cond, uncond, targets, do_norm,
+            remat_decode=(cfg.rollout_remat == "decode"),
         )
         if cfg.rollout_remat == "step":
             # outer remat on top of the models' inner nn.remat: minimal HBM,

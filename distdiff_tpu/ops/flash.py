@@ -277,19 +277,24 @@ def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k
 # ------------------------------------------------------------- public op
 
 def _prep(q, k, v):
-    """[B,T,H,D] -> head-major [B*H, Tp, D] (time padded to the block size;
-    D deliberately NOT padded — lanes pad inside VMEM tiles for free, while
-    padding in HBM would 3.2x the traffic at SD's D=40)."""
+    """[B,T,H,D] -> head-major [B*H, Tp, Dp].
+
+    By default D stays UNPADDED in HBM (lanes pad inside VMEM tiles for
+    free; padding in HBM 3.2x's the traffic at SD's D=40). Set
+    ``DISTDIFF_FLASH_PAD_D=1`` to pad D to the 128-lane width instead
+    (A/B switch; both compile and validate on v5e)."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    block_q, block_k = _pick_blocks(tq, tk, d)
+    pad_d = os.environ.get("DISTDIFF_FLASH_PAD_D") == "1"
+    dp = max(_round_up(d, LANES), LANES) if pad_d else d
+    block_q, block_k = _pick_blocks(tq, tk, dp)
     tqp = _round_up(tq, block_q)
     tkp = _round_up(tk, block_k)
 
     def to3d(x, tp):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
-        if tp != x.shape[1]:
-            x = jnp.pad(x, ((0, 0), (0, tp - x.shape[1]), (0, 0)))
+        if tp != x.shape[1] or dp != d:
+            x = jnp.pad(x, ((0, 0), (0, tp - x.shape[1]), (0, dp - d)))
         return x
 
     return (to3d(q, tqp), to3d(k, tkp), to3d(v, tkp), block_q, block_k,

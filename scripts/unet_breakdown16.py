@@ -50,17 +50,22 @@ def main():
     from distdiff_tpu.ops.flash import flash_attention
     from distdiff_tpu.sampling.pipeline import cast_params_bf16, init_params_lazy
 
-    # ---- whole UNet forward
-    cfg = PipelineConfig.sd15()
-    unet = UNet2DCondition(cfg.unet)
-    lat = jnp.asarray(rng.randn(b, 64, 64, 4), jnp.float32)
-    ctx = jnp.asarray(rng.randn(b, 77, 768), jnp.float32)
-    shapes = jax.eval_shape(unet.init, jax.random.PRNGKey(0), lat,
-                            jnp.array([1]), ctx)["params"]
-    up = cast_params_bf16(
-        jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes))
-    total = t(lambda x: unet.apply({"params": up}, x, jnp.asarray(501), ctx),
-              [lat], it, f"UNet fwd (b{b})")
+    # ---- whole UNet forward. NOTE: device_time wraps the op in a scan;
+    # the remote compile service takes pathologically long on a scan-of-
+    # full-UNet program (>90 min observed) — default OFF; the per-step time
+    # from scripts/pipeline_breakdown.py measures the same thing.
+    total = None
+    if os.environ.get("DISTDIFF_BD16_FULL"):
+        cfg = PipelineConfig.sd15()
+        unet = UNet2DCondition(cfg.unet)
+        lat = jnp.asarray(rng.randn(b, 64, 64, 4), jnp.float32)
+        ctx = jnp.asarray(rng.randn(b, 77, 768), jnp.float32)
+        shapes = jax.eval_shape(unet.init, jax.random.PRNGKey(0), lat,
+                                jnp.array([1]), ctx)["params"]
+        up = cast_params_bf16(
+            jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes))
+        total = t(lambda x: unet.apply({"params": up}, x, jnp.asarray(501),
+                                       ctx), [lat], it, f"UNet fwd (b{b})")
 
     # ---- attention: flash vs XLA at each self shape + prep overhead
     acc = 0.0
@@ -122,10 +127,11 @@ def main():
           f"    standalone attention rows above are diagnostics, not added)",
           flush=True)
     comp = sub - acc  # resnets + transformers only
-    print(f"resnet+transformer subtotal: {comp*1e3:8.2f} ms "
-          f"vs UNet fwd {total*1e3:8.2f} ms "
-          f"(gap {(total-comp)*1e3:8.2f} ms = conv_in/out, up/down-sample, "
-          f"time-emb, residual adds, layout copies)", flush=True)
+    ref = f"vs UNet fwd {total*1e3:8.2f} ms " if total else \
+        "(compare against the ~ms/step from scripts/pipeline_breakdown.py) "
+    print(f"resnet+transformer subtotal: {comp*1e3:8.2f} ms {ref}"
+          f"(gap = conv_in/out, up/down-sample, time-emb, residual adds, "
+          f"skip concats, layout copies)", flush=True)
 
 
 if __name__ == "__main__":
