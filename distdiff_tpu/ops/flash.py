@@ -58,8 +58,17 @@ def _pick_blocks(tq: int, tk: int, d: int = 128):
     # than 512 (scripts/flash_sweep.py). Env overrides for tuning.
     # Large head dims (the VAE's single 512-wide head) scale the caps down
     # to keep kernel VMEM (blocks + f32 scratch, lane-padded) under budget.
+    # r2 sweep at CFG-16 T4096 d40 (scripts/flash_sweep.py): bk=4096 (whole
+    # kv in one block at the 64^2 stage -> no online rescale) beats 2048 by
+    # ~5%; unpadded D beats padded by ~12%. BEST pad=0 bq=512 bk=4096.
     bq_cap = int(os.environ.get("DISTDIFF_FLASH_BQ", "512"))
-    bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK", "2048"))
+    bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK", "4096"))
+    if _round_up(tk, LANES) <= 256:
+        # cross-attention: the whole kv fits ONE block (nk=1, no online
+        # rescale) — use big q blocks so the grid isn't thousands of tiny
+        # programs (T4096 d40 cross measured 2.6ms/layer at bq=512: pure
+        # launch/relayout overhead for 4.3 GFLOP of real work)
+        bq_cap = int(os.environ.get("DISTDIFF_FLASH_BQ_CROSS", "2048"))
     dp = max(_round_up(d, LANES), LANES)  # VMEM lane footprint
     if dp > 128:
         shrink = dp // 128
@@ -321,6 +330,20 @@ def _flash_fwd_rule(q, k, v):
     return _unprep(o3, meta), (q3, k3, v3, o3, lse, meta, bq, bk)
 
 
+def _bwd_blocks(bq: int, bk: int):
+    """Backward block sizes: halve down from the forward's until they fit
+    the bwd kernels' larger VMEM footprint (dk/dv scratch + two dots — the
+    fwd-optimal bk=4096 fails to compile in _dkv_kernel). Halving keeps the
+    divisibility of the fwd-padded sequence lengths."""
+    bq_cap = int(os.environ.get("DISTDIFF_FLASH_BQ_BWD", "512"))
+    bk_cap = int(os.environ.get("DISTDIFF_FLASH_BK_BWD", "2048"))
+    while bq > bq_cap and bq % 2 == 0:
+        bq //= 2
+    while bk > bk_cap and bk % 2 == 0:
+        bk //= 2
+    return bq, bk
+
+
 def _flash_bwd_rule(res, g):
     q3, k3, v3, o3, lse, meta, bq, bk = res
     b, h, tq, tk, d = meta
@@ -328,6 +351,7 @@ def _flash_bwd_rule(res, g):
     dp = q3.shape[-1]
     g3 = jnp.transpose(g, (0, 2, 1, 3)).reshape(b * h, tq, d)
     g3 = jnp.pad(g3, ((0, 0), (0, q3.shape[1] - tq), (0, dp - d)))
+    bq, bk = _bwd_blocks(bq, bk)
     dq3, dk3, dv3 = _flash_bwd_3d(
         q3, k3, v3, o3, lse, g3, scale=scale, kv_len=tk, q_len=tq,
         block_q=bq, block_k=bk,

@@ -19,32 +19,43 @@ from scripts.kernel_bench import device_time
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16,
+                   help="CFG batch (bench default batch 8 -> CFG-16)")
+    p.add_argument("--iters", type=int, default=12)
+    args = p.parse_args()
+
     rng = np.random.RandomState(0)
-    b, t, h, d = 2, 4096, 8, 40
+    b, t, h, d = args.batch, 4096, 8, 40
     q = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
     k = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
     v = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
     flops = 2 * b * h * t * t * d * 2
 
     results = []
-    for bq, bk in [(256, 2048), (512, 2048), (256, 4096), (512, 4096),
-                   (128, 4096), (1024, 2048)]:
-        os.environ["DISTDIFF_FLASH_BQ"] = str(bq)
-        os.environ["DISTDIFF_FLASH_BK"] = str(bk)
-        import distdiff_tpu.ops.flash as flash
+    for pad_d in ("0", "1"):
+        for bq, bk in [(512, 2048), (256, 2048), (512, 4096), (256, 4096),
+                       (1024, 2048), (512, 1024)]:
+            os.environ["DISTDIFF_FLASH_BQ"] = str(bq)
+            os.environ["DISTDIFF_FLASH_BK"] = str(bk)
+            os.environ["DISTDIFF_FLASH_PAD_D"] = pad_d
+            import distdiff_tpu.ops.flash as flash
 
-        importlib.reload(flash)
-        try:
-            dt = device_time(flash.flash_attention, [q, k, v], 16)
-        except Exception as e:
-            print(f"bq={bq} bk={bk}: FAILED {type(e).__name__}", flush=True)
-            continue
-        print(f"bq={bq:5d} bk={bk:5d}: {dt * 1e3:7.3f} ms "
-              f"({flops / dt / 1e12:5.1f} TF/s eff)", flush=True)
-        results.append((dt, bq, bk))
+            importlib.reload(flash)
+            try:
+                dt = device_time(flash.flash_attention, [q, k, v], args.iters)
+            except Exception as e:
+                print(f"pad={pad_d} bq={bq} bk={bk}: FAILED "
+                      f"{type(e).__name__}", flush=True)
+                continue
+            print(f"pad={pad_d} bq={bq:5d} bk={bk:5d}: {dt * 1e3:7.3f} ms "
+                  f"({flops / dt / 1e12:5.1f} TF/s eff)", flush=True)
+            results.append((dt, pad_d, bq, bk))
     if results:
-        dt, bq, bk = min(results)
-        print(f"BEST: bq={bq} bk={bk} @ {dt * 1e3:.3f} ms")
+        dt, pad_d, bq, bk = min(results)
+        print(f"BEST: pad={pad_d} bq={bq} bk={bk} @ {dt * 1e3:.3f} ms")
 
 
 if __name__ == "__main__":
