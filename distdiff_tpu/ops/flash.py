@@ -81,6 +81,29 @@ def _pick_blocks(tq: int, tk: int, d: int = 128):
 
 # ---------------------------------------------------------------- forward
 
+def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
+    """One-kv-block softmax: no online rescale, no scratch round trips.
+    Used whenever the whole (padded) kv fits a single block — the common
+    case after the bk=4096 retune (64^2 self-attention) and for all
+    cross-attention (77 kv tokens)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[1:])
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale, kv_len):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -124,9 +147,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale, 
 
 
 def _flash_fwd_3d(q, k, v, *, scale, kv_len, block_q, block_k):
-    """q [BH, Tqp, Dp], k/v [BH, Tkp, Dp] -> (o [BH,Tqp,Dp], lse [BH,Tqp,LANES])."""
+    """q [BH, Tqp, Dp], k/v [BH, Tkp, Dp] -> (o, lse [BH,Tqp,STAT_LANES])."""
     bh, tqp, dp = q.shape
     tkp = k.shape[1]
+    if tkp == block_k:
+        return _pallas_call(
+            functools.partial(_fwd_kernel_single, scale=scale, kv_len=kv_len),
+            grid=(bh, tqp // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, block_k, dp), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, block_k, dp), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda b, i: (b, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
+                jax.ShapeDtypeStruct((bh, tqp, STAT_LANES), jnp.float32),
+            ],
+        )(q, k, v)
     grid = (bh, tqp // block_q, tkp // block_k)
     o, lse = _pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len),
