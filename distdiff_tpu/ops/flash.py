@@ -86,13 +86,15 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
     Used whenever the whole (padded) kv fits a single block — the common
     case after the bk=4096 retune (64^2 self-attention) and for all
     cross-attention (77 kv tokens)."""
-    q = q_ref[0]
+    # fold the softmax scale into q ([bq, d] multiply, not [bq, bk])
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    )  # [bq, bk]
+    if kv_len < k_ref.shape[1]:  # static: padded kv needs masking
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -115,13 +117,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale, 
         l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
         acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
 
-    q = q_ref[0]
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    )  # [bq, bk]
+    if kv_len % block_k:  # static: only padded kv needs masking
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_s[:, :1]  # [bq, 1] (all lanes replicated)
     l_prev = l_s[:, :1]
@@ -206,13 +209,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_s,
     def _():
         dq_s[...] = jnp.zeros(dq_s.shape, jnp.float32)
 
-    q = q_ref[0]
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    )
+    if kv_len % block_k:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
 
     dp = jax.lax.dot_general(
@@ -243,15 +247,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dk_s[...] = jnp.zeros(dk_s.shape, jnp.float32)
         dv_s[...] = jnp.zeros(dv_s.shape, jnp.float32)
 
-    q = q_ref[0]
+    q = q_ref[0]  # unscaled: feeds the dk accumulation below
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    valid = jnp.logical_and(col < kv_len, row < q_len)
-    p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)  # [bq, bk]
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+    if kv_len % block_k or q_len % block_q:  # static: padded rows/cols
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(
+            jnp.logical_and(col < kv_len, row < q_len), p, 0.0
+        )
 
     do = do_ref[0]
     dv_s[...] += jax.lax.dot_general(
