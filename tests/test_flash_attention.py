@@ -22,6 +22,9 @@ from distdiff_tpu.ops.flash import flash_attention
         (1, 128, 128, 2, 40),   # self-attention, unpadded head dim 40
         (1, 200, 77, 2, 64),    # cross-attention, ragged q and kv lengths
         (2, 64, 64, 1, 160),    # small spatial map, large head dim
+        (1, 256, 256, 2, 40),   # single-block kernel, mask elided (exact)
+        (1, 300, 130, 2, 40),   # single-block kernel, padded q AND kv
+        (2, 512, 512, 1, 512),  # multi-block via the large-head shrink
     ],
 )
 def test_flash_forward_matches_xla(b, tq, tk, h, d):
@@ -32,6 +35,27 @@ def test_flash_forward_matches_xla(b, tq, tk, h, d):
     out = flash_attention(q, k, v)
     ref = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "tq,tk,d",
+    [
+        (256, 256, 40),   # exact multiples: bwd masks elided
+        (200, 130, 64),   # padded q and kv rows in the bwd kernels
+    ],
+)
+def test_flash_grads_match_xla_shapes(tq, tk, d):
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, tq, 2, d), jnp.float32)
+    k = jnp.asarray(rng.randn(1, tk, 2, d), jnp.float32)
+    v = jnp.asarray(rng.randn(1, tk, 2, d), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(xla_attention(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-4)
 
 
 def test_flash_grads_match_xla():
