@@ -1,0 +1,75 @@
+"""Tensor-parallel UNet sharding (parallel/tp.py) on the 8-device CPU mesh:
+a 2x4 data x model mesh must (a) actually shard the transformer Dense
+kernels, (b) produce the same outputs as the replicated single-mesh run
+(GSPMD inserts the all-reduces), (c) compose with batch sharding."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from distdiff_tpu.config import UNetConfig
+from distdiff_tpu.models import UNet2DCondition
+from distdiff_tpu.parallel.tp import (
+    batch_sharding,
+    make_tp_mesh,
+    replicated,
+    unet_param_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8, 8, 4), jnp.float32)
+    ctx = jnp.asarray(rng.randn(4, 6, cfg.cross_attention_dim), jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, jnp.array([1]), ctx)
+    return unet, params, x, ctx
+
+
+def test_tp_shards_transformer_kernels(tiny_unet):
+    unet, params, x, ctx = tiny_unet
+    mesh = make_tp_mesh(2, 4)
+    shardings = unet_param_shardings(mesh, params)
+    sharded = jax.device_put(params, shardings)
+
+    flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
+    n_sharded = 0
+    for path, leaf in flat:
+        names = [p.key for p in path if hasattr(p, "key")]
+        spec = leaf.sharding.spec
+        if any(s is not None for s in spec):
+            n_sharded += 1
+            # a genuinely split leaf: per-device shard smaller than global
+            shard_shape = leaf.addressable_shards[0].data.shape
+            assert np.prod(shard_shape) < np.prod(leaf.shape), names
+    assert n_sharded >= 8, n_sharded  # qkv/out/ff kernels + qkv biases
+
+
+def test_tp_forward_matches_replicated(tiny_unet):
+    unet, params, x, ctx = tiny_unet
+    ref = jax.jit(
+        lambda p, xx, cc: unet.apply(p, xx, jnp.array([3]), cc)
+    )(params, x, ctx)
+
+    mesh = make_tp_mesh(2, 4)
+    shardings = unet_param_shardings(mesh, params)
+    fwd = jax.jit(
+        lambda p, xx, cc: unet.apply(p, xx, jnp.array([3]), cc),
+        in_shardings=(shardings, batch_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+    out = fwd(jax.device_put(params, shardings),
+              jax.device_put(x, batch_sharding(mesh)),
+              jax.device_put(ctx, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_tp_mesh_shapes():
+    mesh = make_tp_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert replicated(mesh).spec == jax.sharding.PartitionSpec()
