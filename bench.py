@@ -75,9 +75,34 @@ def build(preset: str, batch: int):
     return pipe, (pipe.full_params(), lat, cond, uncond, targets, keys)
 
 
+def build_sdxl(batch: int, sample_size: int):
+    """SDXL-base text-to-image step (no DistDiff guidance — the reference
+    recipe is SD-1.x; this preset tracks the framework's flagship-model
+    throughput). Returns (sample_fn, args)."""
+    from distdiff_tpu.config import PipelineConfig
+    from distdiff_tpu.sampling.sdxl import SDXLPipeline, default_time_ids
+
+    config = PipelineConfig.sdxl_base(sample_size=sample_size)
+    pipe = SDXLPipeline.create(config, lazy_params=True)
+    rng = np.random.RandomState(0)
+    ls = config.latent_size
+    lat = jnp.asarray(rng.randn(batch, ls, ls, 4), jnp.float32)
+    d = config.unet.cross_attention_dim
+    ctx = jnp.asarray(rng.randn(batch, 77, d), jnp.float32)
+    uctx = jnp.asarray(rng.randn(batch, 77, d), jnp.float32)
+    pooled = jnp.asarray(
+        rng.randn(batch, config.text_encoder_2.embed_dim), jnp.float32)
+    add = pipe.added_cond(pooled)
+    uadd = pipe.added_cond(jnp.zeros_like(pooled))
+    # only the sampling path's components (text towers stay off-device)
+    params = {"unet": pipe.params["unet"], "vae": pipe.params["vae"]}
+    sample = jax.jit(pipe.make_sample_fn(text_to_img=True))
+    return sample, (params, lat, ctx, add, uctx, uadd, jax.random.PRNGKey(0))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["sd15", "tiny"], default="sd15")
+    p.add_argument("--preset", choices=["sd15", "tiny", "sdxl"], default="sd15")
     p.add_argument("--batch", type=int, default=8,
                    help="images per step (throughput scales with batch: "
                         "1.04/1.21/1.43 img/s/chip at 1/4/8 on v5e-1)")
@@ -92,6 +117,8 @@ def main():
                    help="keep parameters fp32 (default stores them bf16 to "
                         "halve weight-read bandwidth; activations math is "
                         "bf16 with fp32 statistics either way)")
+    p.add_argument("--sdxl_size", type=int, default=1024,
+                   help="--preset sdxl resolution")
     args = p.parse_args()
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
@@ -108,6 +135,33 @@ def main():
         err = float(jnp.abs(flash_attention(q, k, v) - xla_attention(q, k, v)).max())
         print(f"flash-attention check: max err {err:.2e}", file=sys.stderr)
         assert err < 1e-2
+
+    if args.preset == "sdxl":
+        sample, sargs = build_sdxl(args.batch, args.sdxl_size)
+        t0 = time.time()
+        out = sample(*sargs)
+        out.block_until_ready()
+        print(f"compile+first-run: {time.time() - t0:.1f}s", file=sys.stderr)
+        params_, lat0, *rest = sargs
+        times = []
+        for i in range(args.iters):
+            lat_i = lat0 + jnp.float32(1e-6 * (i + 1))
+            lat_i.block_until_ready()
+            t0 = time.time()
+            out = sample(params_, lat_i, *rest)
+            out.block_until_ready()
+            times.append(time.time() - t0)
+        dt = min(times)
+        ips = args.batch / dt
+        print(f"steady-state: {dt:.3f}s/batch of {args.batch} "
+              f"({ips:.3f} img/s/chip)", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"images/sec/chip (SDXL-base DDIM-50 "
+                      f"{args.sdxl_size}^2, CFG t2i)",
+            "value": round(ips, 4), "unit": "img/s/chip",
+            "vs_baseline": round(ips / 2.0, 4),
+        }))
+        return
 
     pipe, bench_args = build(args.preset, args.batch)
     if not args.fp32_params:

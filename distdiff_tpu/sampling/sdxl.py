@@ -171,9 +171,14 @@ def init_sdxl_params(config, unet, vae, te1, te2, seed=0, lazy=False):
     ids2 = jnp.zeros((1, config.text_encoder_2.max_length), jnp.int32)
     key = jax.random.PRNGKey(seed)
     if lazy:
+        # bf16 fill: materializing 2.57B fp32 leaves (10.3GB) OOMs a v5e-1
+        # before a bench can even cast; values are irrelevant here
         def fill(shapes):
-            return jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype),
-                                shapes)
+            return jax.tree.map(
+                lambda s: jnp.full(
+                    s.shape, 0.02,
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+                shapes)
 
         return {
             "unet": fill(jax.eval_shape(
