@@ -142,24 +142,29 @@ def main():
         out = sample(*sargs)
         out.block_until_ready()
         print(f"compile+first-run: {time.time() - t0:.1f}s", file=sys.stderr)
-        params_, lat0, *rest = sargs
+        # t2i draws its initial noise from the PRNG key (the latents arg is
+        # shape-only), so vary the KEY per iteration — the remote tunnel may
+        # elide value-identical dispatches (CLAUDE.md varied-input rule).
+        *head, key0 = sargs
         times = []
         for i in range(args.iters):
-            lat_i = lat0 + jnp.float32(1e-6 * (i + 1))
-            lat_i.block_until_ready()
+            key_i = jax.random.fold_in(key0, i + 1)
+            key_i.block_until_ready()
             t0 = time.time()
-            out = sample(params_, lat_i, *rest)
+            out = sample(*head, key_i)
             out.block_until_ready()
             times.append(time.time() - t0)
         dt = min(times)
         ips = args.batch / dt
         print(f"steady-state: {dt:.3f}s/batch of {args.batch} "
               f"({ips:.3f} img/s/chip)", file=sys.stderr)
+        # vs_baseline: the 2.0 north star is the SD-1.5 512^2 guided recipe;
+        # no published SDXL baseline exists for this rig, so omit the ratio.
         print(json.dumps({
             "metric": f"images/sec/chip (SDXL-base DDIM-50 "
                       f"{args.sdxl_size}^2, CFG t2i)",
             "value": round(ips, 4), "unit": "img/s/chip",
-            "vs_baseline": round(ips / 2.0, 4),
+            "vs_baseline": None,
         }))
         return
 

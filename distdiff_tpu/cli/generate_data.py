@@ -28,6 +28,15 @@ from distdiff_tpu.cli.common import add_dataset_args, set_seed, setup_logging
 log = logging.getLogger("distdiff.generate")
 
 
+def _str2bool(v: str) -> bool:
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "y", "on"):
+        return True
+    if s in ("false", "0", "no", "n", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true/false, got {v!r}")
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DistDiff-style guided expansion")
     add_dataset_args(p)
@@ -71,7 +80,13 @@ def parse_args(argv=None):
     p.add_argument("--train_batch_size", type=int, default=1,
                    help="per-device batch size")
     p.add_argument("--guidance_scale", type=float, default=7.5)
-    p.add_argument("--do_classifier_free_guidance", type=bool, default=True)
+    # The reference declares this flag `type=bool` (generate_data.py:452-457)
+    # so `--do_classifier_free_guidance False` is TRUTHY there — a footgun,
+    # not a contract. We deviate deliberately: accept true/false strings and
+    # parse them properly (documented in PARITY.md).
+    p.add_argument("--do_classifier_free_guidance", type=_str2bool,
+                   nargs="?", const=True, default=True,
+                   help="true/false (default true); bare flag means true")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--bpe_path", type=str, default=None,
                    help="CLIP BPE merges file for real tokenization")
@@ -184,6 +199,8 @@ def prepare_guide_and_prototypes(args, pipe, sd):
         guide.class_text_features = jnp.asarray(build_zero_shot_text_features(
             sd.class_names, template=template_for(args.dataset),
             variables=guide.text_variables, bpe_path=args.bpe_path,
+            checkpoint_dir=args.sd_checkpoint,
+            activation=guide.text_activation,
         ))
 
     proto_path = os.path.join(

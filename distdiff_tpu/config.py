@@ -103,6 +103,14 @@ class VAEConfig:
         return VAEConfig()
 
     @staticmethod
+    def sdxl() -> "VAEConfig":
+        """SDXL's retrained VAE: same architecture as SD-1.x but a different
+        latent scale (0.13025, per stabilityai/stable-diffusion-xl-base's
+        published vae config) — using 0.18215 would mis-scale latents ~1.4x
+        before decode."""
+        return VAEConfig(scaling_factor=0.13025)
+
+    @staticmethod
     def tiny() -> "VAEConfig":
         return VAEConfig(
             block_out_channels=(16, 32),
@@ -180,10 +188,11 @@ class PipelineConfig:
     @staticmethod
     def sdxl_base(sample_size: int = 1024) -> "PipelineConfig":
         """SDXL-base: 3-block UNet (depths 0/2/10, 2048-d context, additive
-        pooled+size conditioning), SD VAE geometry, dual text encoders."""
+        pooled+size conditioning), SDXL VAE (SD geometry, 0.13025 scale),
+        dual text encoders."""
         return PipelineConfig(
             unet=UNetConfig.sdxl_base(),
-            vae=VAEConfig.sd15(),
+            vae=VAEConfig.sdxl(),
             text_encoder=TextEncoderConfig.sd15(),
             text_encoder_2=TextEncoderConfig.sdxl_big(),
             sample_size=sample_size,

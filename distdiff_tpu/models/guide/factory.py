@@ -60,6 +60,10 @@ class GuideModel:
     # loaded) — used to build a REAL zero-shot head from class names
     text_variables: Optional[Any] = None
     logit_scale: Optional[float] = None
+    # MLP activation of the loaded text tower: laion2b towers (the
+    # reference's default checkpoint) use plain gelu; original OpenAI CLIP
+    # releases use quick_gelu. Detected at load time (_load_openclip_into).
+    text_activation: str = "gelu"
 
     def encode_image(self, x: jnp.ndarray, pooling: str = "avg") -> jnp.ndarray:
         return self.module.apply(
@@ -96,6 +100,8 @@ def create_model(
     input_size: int = 224,
     class_text_features: Optional[np.ndarray] = None,
     lazy_init: bool = False,
+    bpe_path: Optional[str] = None,
+    tokenizer_checkpoint_dir: Optional[str] = None,
 ) -> GuideModel:
     """Build a guide model. ``pretrained`` ImageNet initialisation requires a
     converted checkpoint on disk (no network egress); pass ``weight_path``."""
@@ -137,9 +143,12 @@ def create_model(
     if (arch == "open_clip_vit_b32" and gm.class_text_features is None
             and class_names is not None and gm.text_variables is not None):
         # real zero-shot head from the converted OpenCLIP text tower
-        # (reference model_utils.py:74-85)
+        # (reference model_utils.py:74-85). Real text weights demand real
+        # token ids: load_tokenizer runs strict (hash fallback raises).
         gm.class_text_features = jnp.asarray(build_zero_shot_text_features(
-            class_names, variables=gm.text_variables,
+            class_names, variables=gm.text_variables, bpe_path=bpe_path,
+            checkpoint_dir=tokenizer_checkpoint_dir,
+            activation=gm.text_activation,
         ))
     return gm
 
@@ -151,6 +160,8 @@ def build_zero_shot_text_features(
     config=None,
     variables=None,
     activation: str = "gelu",
+    checkpoint_dir: Optional[str] = None,
+    strict: Optional[bool] = None,
 ) -> np.ndarray:
     """Encode class-template prompts into the CLIP contrastive space — the
     zero-shot head construction of the reference's ``wrap_clip_forward``
@@ -158,7 +169,15 @@ def build_zero_shot_text_features(
     (``GuideModel.text_variables``) for a real head; with no pretrained text
     tower this produces a mechanically-correct random-feature head
     (tests/smoke only). ``activation``: the reference's default checkpoint
-    is laion2b (plain gelu); OpenAI-CLIP towers use quick_gelu."""
+    is laion2b (plain gelu); OpenAI-CLIP towers use quick_gelu — pass
+    ``GuideModel.text_activation`` (detected at load time).
+
+    ``strict`` defaults to ``variables is not None``: a REAL text tower with
+    hash-fallback token ids would yield garbage features silently, so the
+    tokenizer lookup raises unless a merges file is found (``bpe_path``,
+    ``$DISTDIFF_CLIP_BPE`` or ``checkpoint_dir/tokenizer/merges.txt``)."""
+    import logging
+
     import jax
     import jax.numpy as jnp
 
@@ -166,6 +185,12 @@ def build_zero_shot_text_features(
     from distdiff_tpu.models.text_encoder import CLIPTextEncoder
     from distdiff_tpu.models.tokenizer import load_tokenizer
 
+    if strict is None:
+        strict = variables is not None
+    if variables is not None:
+        logging.getLogger("distdiff.guide").info(
+            "zero-shot head: encoding %d class prompts with a real text "
+            "tower (activation=%s)", len(classnames), activation)
     if config is None:
         # CLIP ViT-B/32 text tower geometry
         config = TextEncoderConfig(
@@ -174,7 +199,8 @@ def build_zero_shot_text_features(
         )
     te = CLIPTextEncoder(config)
     tok = load_tokenizer(bpe_path, max_length=config.max_length,
-                         vocab_size=config.vocab_size)
+                         vocab_size=config.vocab_size,
+                         checkpoint_dir=checkpoint_dir, strict=strict)
     ids = jnp.asarray(tok([template.format(c) for c in classnames]))
     if variables is None:
         variables = jax.jit(te.init)(jax.random.PRNGKey(0), ids[:1])
@@ -221,17 +247,30 @@ def _read_torch_state(path: str):
 
 
 def _load_openclip_into(gm: GuideModel, state) -> None:
+    import logging
+
     from distdiff_tpu.weights.openclip import convert_openclip
 
+    # OpenAI CLIP releases (TorchScript .pt state dicts) carry scalar
+    # buffers like input_resolution/context_length/vocab_size that open_clip
+    # laion checkpoints lack — the same heuristic open_clip itself uses to
+    # pick quick_gelu. Wrong activation = subtly wrong text features.
+    openai_markers = {"input_resolution", "context_length", "vocab_size"}
+    is_openai = bool(openai_markers & set(state))
     state = {
         (k[len("module."):] if k.startswith("module.") else k):
         (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
         for k, v in state.items()
+        if k.split("module.")[-1] not in openai_markers
     }
     visual, text, logit_scale = convert_openclip(state)
     gm.variables = _retree_like(gm.variables, {"params": visual})
     gm.text_variables = {"params": text}
     gm.logit_scale = logit_scale
+    gm.text_activation = "quick_gelu" if is_openai else "gelu"
+    logging.getLogger("distdiff.guide").info(
+        "OpenCLIP checkpoint loaded (%s flavor -> text activation %s)",
+        "OpenAI" if is_openai else "open_clip/laion", gm.text_activation)
 
 
 def _retree_like(template, new):

@@ -1,6 +1,27 @@
 """Classname tables (reference ``utils/classnames.py``): CIFAR lists used as
 fallbacks when dataset metadata files are absent (e.g. cifar100_subset
-without the torchvision pickle)."""
+without the torchvision pickle), plus the ImageNet/ImageNet-R/Country211
+tables and synset lookups (reference ``utils/classnames.py:169-232``,
+``class_to_synset.py``, ``synset_to_class.py`` — stored once as a pair
+table in :mod:`distdiff_tpu.utils.imagenet_tables`)."""
+
+from distdiff_tpu.utils.imagenet_tables import (  # noqa: F401  (re-exports)
+    CLASS_TO_SYNSET,
+    COUNTRY211_CLASSES,
+    IMAGENET_CLASSES,
+    IMAGENET_R_CLASSES,
+    SYNSET_TO_CLASS,
+)
+
+
+def imagenet_class_to_synset(label: str) -> str:
+    """Classname -> WordNet id (reference ``classnames.py:46-47``)."""
+    return CLASS_TO_SYNSET[label]
+
+
+def imagenet_synset_to_class(synset: str) -> str:
+    """WordNet id -> classname (reference ``classnames.py:49-50``)."""
+    return SYNSET_TO_CLASS[synset]
 
 CIFAR10_CLASSES = [
     "airplane", "automobile", "bird", "cat", "deer",
@@ -41,5 +62,9 @@ def get_num_classes(dataset: str) -> int:
         "pathmnist": 9,
         "bloodmnist": 8,
         "breastmnist": 2,
+        # zero-shot-bench tables (reference classnames.py:224-232)
+        "imagenet": 1000,
+        "imagenet-r": 200,
+        "country211": 211,
     }
     return table.get(dataset, -1)

@@ -77,3 +77,51 @@ class Logger:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def plot_overlap(logger: "Logger", names: Optional[Sequence[str]] = None):
+    """Overlay one logger's series onto the CURRENT matplotlib figure and
+    return the legend labels (reference ``utils/logger.py:14-19``) — the
+    building block :class:`LoggerMonitor` uses to compare runs."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(names) if names else logger.names
+    for name in names:
+        xs = range(len(logger.numbers[name]))
+        plt.plot(xs, logger.numbers[name])
+    return [f"{logger.title}({n})" for n in names]
+
+
+class LoggerMonitor:
+    """Load several ``log.txt`` files and plot them on one set of axes
+    (reference ``utils/logger.py:86-102``): ``paths`` is a ``{title:
+    filepath}`` dict; each file is opened in resume mode (read-only replay
+    of its rows)."""
+
+    def __init__(self, paths: Dict[str, str]):
+        self.loggers = [Logger(p, title=t, resume=True) for t, p in paths.items()]
+        for lg in self.loggers:  # monitor never appends — close the handles
+            lg.close()
+
+    def plot(self, names: Optional[Sequence[str]] = None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        legend = []
+        for lg in self.loggers:
+            legend += plot_overlap(lg, names)
+        plt.legend(legend, bbox_to_anchor=(1.05, 1), loc=2, borderaxespad=0.0)
+        plt.grid(True)
+        return plt
+
+    def savefig(self, fname: str, names: Optional[Sequence[str]] = None,
+                dpi: int = 150) -> None:
+        plt = self.plot(names)
+        plt.savefig(fname, dpi=dpi, bbox_inches="tight")
+        plt.close()

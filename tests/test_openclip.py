@@ -139,9 +139,14 @@ def test_create_model_builds_real_zero_shot_head(tmp_path):
     path = str(tmp_path / "openclip_b32.safetensors")
     save_file(state, path)
 
+    # a real (minimal) merges file: the factory is STRICT about real text
+    # towers — the hash-tokenizer fallback would raise (round-3 fix)
+    bpe = tmp_path / "merges.txt"
+    bpe.write_text("#version: 0.2\nc a</w>\nd o\ndo g</w>\n")
+
     gm = create_model(
         "open_clip_vit_b32", num_classes=3, weight_path=path,
-        class_names=["cat", "dog", "bird"],
+        class_names=["cat", "dog", "bird"], bpe_path=str(bpe),
     )
     assert gm.text_variables is not None
     assert gm.logit_scale is not None
