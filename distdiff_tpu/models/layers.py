@@ -51,18 +51,24 @@ class TimestepMLP(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of input dtype."""
+    """GroupNorm with fp32 statistics regardless of input dtype.
+
+    ``act='silu'`` folds the following activation INTO the kernel: a Pallas
+    custom call is a fusion barrier to XLA, so a separate trailing
+    ``nn.silu`` costs a full extra HBM read+write of the slab."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # Dispatches to the fused Pallas kernel on TPU (ONE HBM pass per
-        # batch row; see distdiff_tpu/ops/groupnorm.py) with a TPU-layout-
-        # aware XLA fallback: never materialize [..., G, C/G] tensors whose
-        # ~10-40-wide C/G lane dim pads ~10x.
+        # batch row for VMEM-sized slabs, a chunked two-pass for the big
+        # 512^2 VAE stages; see distdiff_tpu/ops/groupnorm.py) with a
+        # TPU-layout-aware XLA fallback: never materialize [..., G, C/G]
+        # tensors whose ~10-40-wide C/G lane dim pads ~10x.
         from distdiff_tpu.ops.groupnorm import group_norm
 
         c = x.shape[-1]
@@ -71,7 +77,7 @@ class GroupNorm(nn.Module):
             groups -= 1    # divisibility; tiny test configs may not divide)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, groups, self.epsilon)
+        return group_norm(x, scale, bias, groups, self.epsilon, self.act)
 
 
 class ResnetBlock(nn.Module):
@@ -84,16 +90,14 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         residual = x
-        h = GroupNorm(dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm(dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             # 1x1 conv as a channel Dense: XLA lowers the conv form to ~16%

@@ -106,8 +106,7 @@ class UNet2DCondition(nn.Module):
 
         assert not skips, f"unconsumed skip states: {len(skips)}"
 
-        x = GroupNorm(dtype=dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(dtype=dtype, act="silu", name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(x)
         return x.astype(jnp.float32)

@@ -61,8 +61,7 @@ class Encoder(nn.Module):
         x = ResnetBlock(mid, use_time_emb=False, dtype=dtype, name="mid_res_0")(x)
         x = VAEAttention(dtype=dtype, name="mid_attn")(x)
         x = ResnetBlock(mid, use_time_emb=False, dtype=dtype, name="mid_res_1")(x)
-        x = GroupNorm(dtype=dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(dtype=dtype, act="silu", name="conv_norm_out")(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(x)
         return x.astype(jnp.float32)  # moments: [mean | logvar]
@@ -90,8 +89,7 @@ class Decoder(nn.Module):
                         name=f"up_{ui}_res_{li}")(x)
             if bi > 0:
                 x = Upsample(ch, dtype=dtype, name=f"up_{ui}_upsample")(x)
-        x = GroupNorm(dtype=dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(dtype=dtype, act="silu", name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(x)
         return x.astype(jnp.float32)

@@ -81,6 +81,53 @@ def _pick_blocks(tq: int, tk: int, d: int = 128):
 
 # ---------------------------------------------------------------- forward
 
+_MAT_L = os.environ.get("DISTDIFF_FLASH_MATL", "1") == "1"
+_NO_MAX = os.environ.get("DISTDIFF_FLASH_NOMAX", "0") == "1"
+_BF16_P = os.environ.get("DISTDIFF_FLASH_BF16P", "0") == "1"
+# constant softmax shift for the no-max path: logits above ~88+C overflow
+# fp32 exp; SD attention logits stay well under this (|s| <~ 30 measured),
+# and columns more than ~88 below C underflow to the 0 they round to anyway.
+_SHIFT_C = 16.0
+
+
+def _matl(d: int) -> bool:
+    """Ones-column l trick: ONLY when D has spare lanes (40 -> 41 is free
+    because the MXU pads to 128 regardless; 512 -> 513 would add a whole
+    extra 128-lane group to the p@v dot and the accumulator)."""
+    return _MAT_L and d % LANES != 0
+
+
+def _softmax_stats(s, v_dtype, kv_len, padded, use_matl):
+    """Shared softmax inner loop for the forward kernels.
+
+    Returns (p_cast, l, m) where ``l`` is None when the ones-column MXU
+    trick is on (the caller reads l from the appended column of the
+    p@[v|1] product instead — the VPU row-sum over a [bq, bk] block costs
+    real time; an extra lane in the second dot is free because the MXU
+    pads D=40 to 128 lanes regardless)."""
+    if padded:  # static: padded kv needs masking
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    if _NO_MAX:
+        m = jnp.full((s.shape[0], 1), _SHIFT_C, jnp.float32)
+    else:
+        m = jnp.max(s, axis=1, keepdims=True)
+    sm = s - m
+    if _BF16_P:
+        p = jnp.exp(sm.astype(jnp.bfloat16))
+    else:
+        p = jnp.exp(sm)
+    l = None if use_matl else jnp.sum(p.astype(jnp.float32), axis=1,
+                                      keepdims=True)
+    return p.astype(v_dtype), l, m
+
+
+def _append_ones(v):
+    """[bk, d] -> [bk, d+1] with a trailing ones column (l accumulator)."""
+    return jnp.concatenate(
+        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+
+
 def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
     """One-kv-block softmax: no online rescale, no scratch round trips.
     Used whenever the whole (padded) kv fits a single block — the common
@@ -92,30 +139,38 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    if kv_len < k_ref.shape[1]:  # static: padded kv needs masking
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    matl = _matl(v_ref.shape[-1])
+    p, l, m = _softmax_stats(s, v_ref.dtype, kv_len,
+                             kv_len < k_ref.shape[1], matl)
+    v = _append_ones(v_ref[0]) if matl else v_ref[0]
     acc = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if matl:
+        l = acc[:, -1:]
+        acc = acc[:, :-1]
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[1:])
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale, kv_len):
+    """Online-softmax kernel (multi-kv-block). With the ones-column trick
+    the running row-sum ``l`` lives in the LAST column of ``acc_s`` — the
+    same alpha rescale that corrects the numerator corrects it for free —
+    and ``l_s`` is unused."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     block_k = k_ref.shape[1]
 
+    matl = _matl(v_ref.shape[-1])
+
     @pl.when(j == 0)
     def _():
         m_s[...] = jnp.full(m_s.shape, NEG_INF, jnp.float32)
-        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
         acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+        if not matl:
+            l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
 
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     k = k_ref[0]
@@ -127,26 +182,34 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale, 
         s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_s[:, :1]  # [bq, 1] (all lanes replicated)
-    l_prev = l_s[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_next)
-    l_cur = jnp.sum(p, axis=1, keepdims=True)
-    alpha = jnp.exp(m_prev - m_next)
-    l_next = l_prev * alpha + l_cur
+    if _NO_MAX:
+        m_next = jnp.full((s.shape[0], 1), _SHIFT_C, jnp.float32)
+        alpha = jnp.float32(1.0)
+    else:
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+    sm = s - m_next
+    p = jnp.exp(sm.astype(jnp.bfloat16) if _BF16_P else sm)
+    p = p.astype(v_ref.dtype)
 
+    v = _append_ones(v_ref[0]) if matl else v_ref[0]
     acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
-    l_s[...] = jnp.broadcast_to(l_next, l_s.shape)
+    if not matl:
+        l_cur = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        l_s[...] = l_s[...] * alpha + jnp.broadcast_to(l_cur, l_s.shape)
 
     @pl.when(j == nk - 1)
     def _():
-        l_final = l_s[:, :1]
-        o_ref[0] = (acc_s[...] / l_final).astype(o_ref.dtype)
-        lse_ref[0] = (m_s[...] + jnp.log(l_s[...]))[:, :STAT_LANES]
+        l_final = acc_s[:, -1:] if matl else l_s[:, :1]
+        acc = acc_s[:, :-1] if matl else acc_s[...]
+        o_ref[0] = (acc / l_final).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(
+            m_s[:, :1] + jnp.log(l_final), lse_ref.shape[1:])
 
 
 def _flash_fwd_3d(q, k, v, *, scale, kv_len, block_q, block_k):
@@ -191,7 +254,8 @@ def _flash_fwd_3d(q, k, v, *, scale, kv_len, block_q, block_k):
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, dp), jnp.float32),
+            # +1 lane for the running l when the ones-column trick is on
+            pltpu.VMEM((block_q, dp + (1 if _matl(dp) else 0)), jnp.float32),
         ],
     )(q, k, v)
     return o, lse

@@ -70,3 +70,75 @@ def test_flash_grads_match_xla():
     g2 = jax.grad(lambda *a: jnp.sum(xla_attention(*a) * w), argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4)
+
+
+# -------------------------------------------------- round-3 softmax variants
+
+def _run_fwd(b=1, tq=256, tk=384, h=2, d=40, seed=5):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    return flash_attention(q, k, v), xla_attention(q, k, v)
+
+
+def test_online_kernel_matl_path(monkeypatch):
+    """Multi-kv-block online kernel with l in the accumulator's ones
+    column: force small kv blocks so nk > 1 at d=40."""
+    monkeypatch.setenv("DISTDIFF_FLASH_BK", "128")
+    monkeypatch.setenv("DISTDIFF_FLASH_BQ", "128")
+    out, ref = _run_fwd(tq=256, tk=384)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # and with a padded (non-multiple) kv length
+    out, ref = _run_fwd(tq=256, tk=300)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_matl_off_matches(monkeypatch):
+    import distdiff_tpu.ops.flash as fl
+
+    monkeypatch.setattr(fl, "_MAT_L", False)
+    monkeypatch.setenv("DISTDIFF_FLASH_BK", "128")
+    out, ref = _run_fwd(tq=128, tk=384)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_nomax_constant_shift(monkeypatch):
+    """Constant-shift softmax (no row max): same probabilities, same lse,
+    also through the backward (lse is what the bwd kernels consume)."""
+    import distdiff_tpu.ops.flash as fl
+
+    monkeypatch.setattr(fl, "_NO_MAX", True)
+    out, ref = _run_fwd(tq=128, tk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # online path too
+    monkeypatch.setenv("DISTDIFF_FLASH_BK", "128")
+    out, ref = _run_fwd(tq=128, tk=384)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(1, 128, 2, 40), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 128, 2, 40), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 128, 2, 40), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(xla_attention(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-4)
+
+
+def test_bf16_p_close(monkeypatch):
+    """bf16 exp path: looser tolerance (p carries ~3 decimal digits)."""
+    import distdiff_tpu.ops.flash as fl
+
+    monkeypatch.setattr(fl, "_BF16_P", True)
+    out, ref = _run_fwd(tq=128, tk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

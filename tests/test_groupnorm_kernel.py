@@ -1,4 +1,5 @@
-"""Pallas GroupNorm kernel vs the XLA reference (interpreter mode on CPU)."""
+"""Pallas GroupNorm kernels vs the XLA reference (interpreter mode on CPU):
+single-pass, chunked two-pass (the >6MB-slab path), and fused SiLU."""
 
 import os
 
@@ -10,7 +11,9 @@ import numpy as np
 import pytest
 
 from distdiff_tpu.ops.groupnorm import (
+    _chunk_rows,
     _pallas_group_norm,
+    _pallas_group_norm_chunked,
     group_norm,
     xla_group_norm,
 )
@@ -27,9 +30,50 @@ def test_pallas_matches_xla(b, hw, c, groups):
     scale = jnp.asarray(rng.randn(c), jnp.float32)
     bias = jnp.asarray(rng.randn(c), jnp.float32)
     ref = xla_group_norm(x, scale, bias, groups)
-    out = _pallas_group_norm(x, scale, bias, groups, 1e-5)
+    out = _pallas_group_norm(x, scale, bias, groups, 1e-5, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("act", [None, "silu"])
+@pytest.mark.parametrize("b,hw,c,groups", [
+    (2, 64, 128, 32),    # multi-chunk once _CHUNK_BYTES is overridden? no —
+    (1, 96, 256, 32),    # chunking is decided by _chunk_rows below
+])
+def test_chunked_matches_xla(b, hw, c, groups, act, monkeypatch):
+    import distdiff_tpu.ops.groupnorm as gn
+
+    # force small chunks so the two-pass path really iterates
+    monkeypatch.setattr(gn, "_CHUNK_BYTES", 16 * c * 4)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(b, hw, c) * 1.5 - 0.3, jnp.float32)
+    scale = jnp.asarray(rng.randn(c), jnp.float32)
+    bias = jnp.asarray(rng.randn(c), jnp.float32)
+    ref = xla_group_norm(x, scale, bias, groups, 1e-5, act)
+    out = _pallas_group_norm_chunked(x, scale, bias, groups, 1e-5, act)
+    rows = gn._chunk_rows(hw, c, 4)
+    assert hw // rows > 1, "test must exercise the multi-chunk path"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_chunk_rows_divides():
+    assert _chunk_rows(262144, 128, 2) * 128 * 2 <= 2 * 1024 * 1024 + 1
+    for hw in (262144, 65536, 16384, 96, 7):
+        rows = _chunk_rows(hw, 128, 2)
+        assert hw % rows == 0 and rows >= 1
+
+
+def test_fused_silu_matches_unfused():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 32, 128), jnp.float32)
+    scale = jnp.asarray(rng.randn(128), jnp.float32)
+    bias = jnp.asarray(rng.randn(128), jnp.float32)
+    plain = xla_group_norm(x, scale, bias, 32)
+    fused = _pallas_group_norm(x, scale, bias, 32, 1e-5, "silu")
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(jax.nn.silu(plain)),
+        atol=2e-4, rtol=2e-4)
 
 
 def test_group_norm_4d_and_grad():
@@ -46,3 +90,17 @@ def test_group_norm_4d_and_grad():
     g2 = jax.grad(lambda xx: jnp.sum(xla_group_norm(xx, scale, bias, 32) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3,
                                rtol=2e-3)
+
+
+def test_group_norm_act_grad():
+    """Fused-act custom-vjp backward equals the XLA silu(gn(x)) gradient."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 4, 4, 128), jnp.float32)
+    scale = jnp.asarray(rng.randn(128), jnp.float32)
+    bias = jnp.asarray(rng.randn(128), jnp.float32)
+    f1 = lambda xx: jnp.sum(group_norm(xx, scale, bias, 32, 1e-5, "silu") ** 2)
+    f2 = lambda xx: jnp.sum(
+        jax.nn.silu(xla_group_norm(xx, scale, bias, 32)) ** 2)
+    np.testing.assert_allclose(np.asarray(jax.grad(f1)(x)),
+                               np.asarray(jax.grad(f2)(x)),
+                               atol=2e-3, rtol=2e-3)
