@@ -18,6 +18,7 @@ Usage (reference recipe, ``scripts/exps/expand_diff.sh``):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import os
 
@@ -46,6 +47,12 @@ def parse_args(argv=None):
                         "diffusers dir via --sd_checkpoint for real weights")
     p.add_argument("--sd_checkpoint", type=str, default=None,
                    help="local diffusers-format SD checkpoint dir to convert")
+    p.add_argument("--model", type=str, default="sd15",
+                   choices=["sd15", "sdxl"],
+                   help="diffusion backbone: sd15 (reference recipe) or "
+                        "sdxl (beyond-reference; dual text encoders + "
+                        "additive conditioning, full guided-expansion "
+                        "support)")
     p.add_argument("--params_path", type=str, default=None,
                    help="previously converted/saved params (orbax dir)")
     p.add_argument("--arch", "-a", type=str, default="open_clip_vit_b32")
@@ -110,9 +117,20 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
     from distdiff_tpu.config import GuidanceConfig, PipelineConfig
     from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
 
+    sdxl = getattr(args, "model", "sd15") == "sdxl"
     if args.tiny:
-        config = PipelineConfig.tiny(sample_size=min(args.resolution, 64))
+        if sdxl:
+            config = PipelineConfig.sdxl_tiny(
+                sample_size=min(args.resolution, 64))
+        else:
+            config = PipelineConfig.tiny(sample_size=min(args.resolution, 64))
         guide_input = config.sample_size
+    elif sdxl:
+        config = dataclasses.replace(
+            PipelineConfig.sdxl_base(sample_size=args.resolution),
+            num_inference_steps=args.steps,
+        )
+        guide_input = 224
     else:
         config = PipelineConfig(
             sample_size=args.resolution, num_inference_steps=args.steps
@@ -125,11 +143,15 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
 
         params = ckpt.restore_pytree(args.params_path)
     elif args.sd_checkpoint:
-        from distdiff_tpu.weights.convert import convert_sd_checkpoint
+        from distdiff_tpu.weights.convert import (
+            convert_sd_checkpoint,
+            convert_sdxl_checkpoint,
+        )
 
         # strict: a partial conversion (any missing/extra/mismatched leaf)
         # raises instead of silently running stale random leaves
-        params = convert_sd_checkpoint(args.sd_checkpoint, config=config)
+        convert = convert_sdxl_checkpoint if sdxl else convert_sd_checkpoint
+        params = convert(args.sd_checkpoint, config=config)
         log.info("converted SD checkpoint from %s (validated)", args.sd_checkpoint)
     else:
         log.warning(
@@ -259,14 +281,30 @@ def main(argv=None):
         # conditioning; refuse (ADVICE r1) unless this is a toy run
         strict=bool(args.sd_checkpoint or args.params_path) and not args.tiny,
     )
-    encode_text = jax.jit(lambda ids: pipe.encode_text(params, ids))
     encode_images = jax.jit(lambda im: pipe.encode_images(params, im))
+    if pipe.is_sdxl:
+        # dual-tower conditioning pytree {"ctx", "add"}; both towers consume
+        # the same CLIP-BPE tokenization (diffusers' tokenizer_2 differs
+        # only in its pad token — the context positions past <eot> carry
+        # negligible signal; documented simplification)
+        from distdiff_tpu.sampling.conditioning import cond_asarray
+
+        encode_pair = jax.jit(
+            lambda i1, i2: pipe.encode_text_pair(params, i1, i2))
+
+        def encode_text_fn(prompts):
+            ids = jnp.asarray(tokenizer(list(prompts)))
+            return cond_asarray(encode_pair(ids, ids))
+    else:
+        encode_text = jax.jit(lambda ids: pipe.encode_text(params, ids))
+
+        def encode_text_fn(prompts):
+            return np.asarray(
+                encode_text(jnp.asarray(tokenizer(list(prompts)))))
 
     sd = SDDataset(
         args.dataset,
-        encode_text_fn=lambda prompts: np.asarray(
-            encode_text(jnp.asarray(tokenizer(list(prompts))))
-        ),
+        encode_text_fn=encode_text_fn,
         encode_images_fn=lambda im: np.asarray(encode_images(jnp.asarray(im))),
         model_name=args.pretrained_model_name_or_path,
         size=pipe.config.sample_size,

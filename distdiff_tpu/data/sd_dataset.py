@@ -32,8 +32,10 @@ VAE_EMBED_DIR = "save/vae_embedding"
 @dataclasses.dataclass
 class SDItem:
     latent: np.ndarray        # [h, w, 4] scaled VAE latent
-    cond: np.ndarray          # [T, D] text embedding
-    uncond: np.ndarray        # [T, D]
+    # conditioning pytree: [T, D] text embedding for SD-1.x, or the SDXL
+    # {"ctx": [T, 2048], "add": [2816]} dict (sampling.conditioning)
+    cond: object
+    uncond: object
     class_name: str
     image_path: str
     target: int
@@ -68,6 +70,14 @@ class SDDataset:
         self.labels = list(train.labels)
         self.transform = sd_transform(size, center_crop)
 
+        # encode_text_fn returns the conditioning pytree for a list of
+        # prompts: [N, T, D] for SD-1.x, {"ctx": [N,T,D], "add": [N,A]} for
+        # SDXL — handled leaf-wise throughout (sampling.conditioning).
+        from distdiff_tpu.sampling.conditioning import (
+            cond_asarray,
+            cond_index,
+        )
+
         self.language_enhance = language_enhance
         if language_enhance:
             # per-class sentence bank: data/{dataset}_le.pkl
@@ -77,14 +87,15 @@ class SDDataset:
                 bank = pickle.load(f)
             bank = {k.replace("_", " "): v for k, v in bank.items()}
             self.class_embeds = [
-                np.stack([np.asarray(encode_text_fn([s]))[0] for s in bank[c]])
+                cond_asarray(encode_text_fn(list(bank[c])))
                 for c in self.class_names
-            ]  # list of [S, T, D]
+            ]  # list of per-class [S, ...] leaf stacks
         else:
             template = template_for(dataset)
             prompts = [template.format(c) for c in self.class_names]
-            self.class_embeds = np.asarray(encode_text_fn(prompts))  # [C, T, D]
-        self.uncond_embed = np.asarray(encode_text_fn([""]))[0]      # [T, D]
+            self.class_embeds = cond_asarray(encode_text_fn(prompts))
+        self.uncond_embed = cond_index(
+            cond_asarray(encode_text_fn([""])), 0)
 
         self.latents = self._load_or_encode_latents(
             encode_images_fn, model_name, cache_root, encode_batch
@@ -136,15 +147,21 @@ class SDDataset:
         return len(self.image_paths)
 
     def __getitem__(self, idx: int) -> SDItem:
+        from distdiff_tpu.sampling.conditioning import (
+            cond_index,
+            cond_leading_dim,
+        )
+
         target = self.labels[idx]
         if self.language_enhance:
             sents = self.class_embeds[target]
-            cond = sents[int(self.rng.integers(0, len(sents)))]
+            cond = cond_index(
+                sents, int(self.rng.integers(0, cond_leading_dim(sents))))
         else:
-            cond = self.class_embeds[target]
+            cond = cond_index(self.class_embeds, target)
         return SDItem(
             latent=self.latents[idx],
-            cond=np.asarray(cond),
+            cond=cond,
             uncond=self.uncond_embed,
             class_name=self.class_names[target],
             image_path=self.image_paths[idx],
@@ -154,11 +171,14 @@ class SDDataset:
 
 def collate_sd(items: List[SDItem]):
     """Stack SDItems into device-ready arrays (reference ``collate_fn``,
-    ``generate_data.py:642-684``)."""
+    ``generate_data.py:642-684``). Conditioning stacks leaf-wise (SD-1.x
+    arrays and SDXL {"ctx","add"} dicts alike)."""
+    from distdiff_tpu.sampling.conditioning import cond_stack
+
     return {
         "latents": np.stack([it.latent for it in items]),
-        "cond": np.stack([it.cond for it in items]),
-        "uncond": np.stack([it.uncond for it in items]),
+        "cond": cond_stack([it.cond for it in items]),
+        "uncond": cond_stack([it.uncond for it in items]),
         "targets": np.asarray([it.target for it in items], np.int32),
         "class_names": [it.class_name for it in items],
         "image_paths": [it.image_path for it in items],

@@ -19,6 +19,7 @@ Design:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -29,10 +30,62 @@ import jax.numpy as jnp
 def _use_pallas() -> bool:
     if os.environ.get("DISTDIFF_FORCE_XLA_ATTENTION"):
         return False
+    if os.environ.get("DISTDIFF_FORCE_PALLAS_ATTENTION"):
+        # test hook: Pallas even off-TPU (pairs with interpreter mode)
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+# --------------------------------------------------- tensor-parallel context
+#
+# GSPMD cannot partition a Pallas custom call, so under tensor parallelism
+# the kernel is wrapped in jax.shard_map instead: attention is independent
+# per (batch, head), so each device runs the kernel on its local
+# [B/nd, T, H/nm, D] block with NO collectives — the qkv projections ahead
+# of it are column-parallel (head-sliced) and to_out behind it row-parallel,
+# exactly the Megatron layout parallel/tp.py annotates. Enter the context
+# around TRACING (the jit call) of a TP-sharded program.
+
+_TP_CTX = {"mesh": None, "data_axis": None, "model_axis": None}
+
+
+@contextlib.contextmanager
+def tp_sharded_attention(mesh, data_axis: str = "data",
+                         model_axis: str = "model"):
+    """Route ``attention`` through a shard_map'd flash kernel over ``mesh``
+    while tracing. Heads shard over ``model_axis`` (falls back to
+    head-replicated compute when the head count does not divide)."""
+    old = dict(_TP_CTX)
+    _TP_CTX.update(mesh=mesh, data_axis=data_axis, model_axis=model_axis)
+    try:
+        yield
+    finally:
+        _TP_CTX.update(old)
+
+
+def _tp_attention(q, k, v, mesh, data_axis, model_axis):
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax layout
+        from jax.experimental.shard_map import shard_map
+
+    from distdiff_tpu.ops import flash
+
+    h = q.shape[2]
+    nm = mesh.shape[model_axis]
+    head_axis = model_axis if (h % nm == 0 and h >= nm) else None
+    spec = P(data_axis, None, head_axis, None)
+    f = shard_map(
+        flash.flash_attention, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return f(q, k, v)
 
 
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +100,9 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Multi-head attention, dispatching to the fastest available path."""
     if _use_pallas():
+        if _TP_CTX["mesh"] is not None:
+            return _tp_attention(q, k, v, _TP_CTX["mesh"],
+                                 _TP_CTX["data_axis"], _TP_CTX["model_axis"])
         from distdiff_tpu.ops import flash  # deferred: pallas import is TPU-only
 
         return flash.flash_attention(q, k, v)

@@ -86,10 +86,12 @@ class ExpansionDriver:
         return jax.random.fold_in(k, unit.image_i)
 
     def _batch_arrays(self, units: Sequence[WorkUnit]):
+        from distdiff_tpu.sampling.conditioning import cond_stack
+
         items = [self.sd[u.dataset_index] for u in units]
         latents = np.stack([it.latent for it in items])
-        cond = np.stack([np.asarray(it.cond) for it in items])
-        uncond = np.stack([it.uncond for it in items])
+        cond = cond_stack([it.cond for it in items])
+        uncond = cond_stack([it.uncond for it in items])
         targets = np.asarray([it.target for it in items], np.int32)
         keys = jnp.stack([self._unit_key(u) for u in units])
         return latents, cond, uncond, targets, keys

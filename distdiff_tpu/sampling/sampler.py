@@ -39,13 +39,16 @@ def make_eps_fn(unet_apply: Callable, cfg: SamplerConfig) -> Callable:
 
     Mirrors ``denoise_one_step``'s CFG mix (``generate_data.py:109-121``)
     but batches the uncond/text pair through a single UNet call so the MXU
-    sees one 2B batch instead of two launches.
+    sees one 2B batch instead of two launches. ``cond``/``uncond`` are
+    opaque conditioning pytrees (bare context array for SD-1.x,
+    ``{"ctx", "add"}`` for SDXL — sampling.conditioning).
     """
+    from distdiff_tpu.sampling.conditioning import cond_concat
 
     def eps_fn(params, x, t, cond, uncond):
         if cfg.do_classifier_free_guidance:
             x2 = jnp.concatenate([x, x], axis=0)
-            ctx = jnp.concatenate([uncond, cond], axis=0)
+            ctx = cond_concat(uncond, cond)
             out = unet_apply(params, x2, t, ctx)
             eps_u, eps_t = jnp.split(out, 2, axis=0)
             return eps_u + cfg.guidance_scale * (eps_t - eps_u)

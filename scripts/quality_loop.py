@@ -1,0 +1,184 @@
+"""Closed-loop accuracy protocol: expansion -> downstream training -> delta.
+
+The reference's REAL evaluation harness is statistical: expand a small
+dataset with guided diffusion, train a downstream classifier over 3 seeds on
+original⊕expanded, and report mean±std accuracy against the baselines
+(``/root/reference/scripts/exps/train_expand.sh:9-31`` loops seeds 1..3 over
+``train_expanded_data_concat_original.py``; ``parse_logs.py:21-66``
+aggregates). This script runs that whole loop as ONE command:
+
+  1. guided expansion   (generate_data --guidance_type transform_guidance)
+  2. unguided expansion (generate_data --guidance_type none)
+  3. downstream training, N seeds x {original-only, ⊕unguided, ⊕guided}
+  4. parse_logs aggregation -> a mean±std comparison table
+
+Default mode fabricates a toy dataset and runs the tiny pipeline config —
+this proves the full reference WORKFLOW end-to-end on any box (it is the
+repo's executable protocol definition, exercised by
+tests/test_quality_loop.py). With real SD weights + a real dataset root it
+becomes the reference measurement itself:
+
+  python scripts/quality_loop.py \\
+      --dataset caltech-101 --data_root ./data --no-tiny \\
+      --sd_checkpoint /path/to/stable-diffusion-v1-4 \\
+      --arch resnet50 --epochs 100 --train_batch 64 --lr 0.1 \\
+      --num_images_per_prompt 5 --seeds 1 2 3
+
+(North-star quality target, BASELINE.md: guided-expansion downstream
+accuracy within 0.3% of the reference's published mean on the same recipe.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--dataset", default="breastmnist")
+    p.add_argument("--data_root", default=None,
+                   help="existing dataset root; default fabricates a toy "
+                        "2-class tree under --workdir")
+    p.add_argument("--workdir", default="quality_loop_out")
+    p.add_argument("--arch", default="tiny_resnet")
+    p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--train_batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--input_size", type=int, default=16)
+    p.add_argument("--num_images_per_prompt", type=int, default=1)
+    p.add_argument("--resolution", type=int, default=32)
+    p.add_argument("--sd_checkpoint", default=None)
+    p.add_argument("--no-tiny", dest="tiny", action="store_false",
+                   help="real pipeline geometry (needs --sd_checkpoint)")
+    p.add_argument("--guidance_step", type=int, default=4)
+    p.add_argument("--guidance_period", type=int, default=2)
+    p.add_argument("--K", type=int, default=2)
+    return p.parse_args(argv)
+
+
+def fabricate_toy_dataset(root: str, classes=("alpha", "beta"),
+                          n_train: int = 6, n_test: int = 4, size=20):
+    """Class-per-dir medmnist-style tree with learnable color structure."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    base = os.path.join(root, "medmnist", "breastmnist")
+    for ci, cat in enumerate(classes):
+        for split, n in (("train", n_train), ("test", n_test)):
+            for k in range(n):
+                d = os.path.join(base, split, cat)
+                os.makedirs(d, exist_ok=True)
+                arr = rng.randint(0, 40, (size, size, 3)).astype(np.uint8)
+                arr[..., ci] += 150  # class-colored channel
+                Image.fromarray(arr).save(os.path.join(d, f"{split}_{k}.png"))
+    return root
+
+
+def run_expansion(args, guidance_type: str, out_dir: str):
+    from distdiff_tpu.cli import generate_data as cli_gen
+
+    argv = [
+        "-d", args.dataset, "--data_root", args.data_root,
+        "--guidance_type", guidance_type,
+        "--guidance_step", str(args.guidance_step),
+        "--guidance_period", str(args.guidance_period), "--K", str(args.K),
+        "--num_images_per_prompt", str(args.num_images_per_prompt),
+        "--train_batch_size", "1",
+        "--output_dir", out_dir, "--seed", "0",
+        "--resolution", str(args.resolution),
+    ]
+    if args.tiny:
+        argv += ["--tiny"]
+    if args.sd_checkpoint:
+        argv += ["--sd_checkpoint", args.sd_checkpoint]
+    stats = cli_gen.main(argv)
+    print(f"[quality_loop] expansion ({guidance_type}): "
+          f"{stats['written']} images -> {out_dir}", flush=True)
+    return stats
+
+
+def run_training(args, variant: str, expanded_dir, ckpt_root: str):
+    """One variant x all seeds through the downstream trainer CLIs."""
+    from distdiff_tpu.cli import train as cli_train
+    from distdiff_tpu.cli import train_expanded as cli_train_expanded
+
+    for seed in args.seeds:
+        ckpt = os.path.join(ckpt_root, variant, f"seed{seed}")
+        if os.path.exists(os.path.join(ckpt, "results.yaml")):
+            print(f"[quality_loop] skip existing {ckpt}", flush=True)
+            continue
+        argv = [
+            "-d", args.dataset, "--data_root", args.data_root,
+            "-a", args.arch, "--epochs", str(args.epochs),
+            "--train-batch", str(args.train_batch),
+            "--test-batch", str(args.train_batch),
+            "--input_size", str(args.input_size), "--lr", str(args.lr),
+            "--manualSeed", str(seed), "--checkpoint", ckpt,
+        ]
+        if expanded_dir is None:
+            cli_train.main(argv)
+        else:
+            cli_train_expanded.main(
+                argv + ["--data_expanded_dir", expanded_dir])
+
+
+def aggregate(ckpt_root: str, variants):
+    from distdiff_tpu.cli.parse_logs import collect
+
+    table = {}
+    for v in variants:
+        perfs = collect(os.path.join(ckpt_root, v), multi=True)
+        table[v] = {
+            "n": len(perfs),
+            "mean": float(np.mean(perfs)) if perfs else None,
+            "std": float(np.std(perfs)) if perfs else None,
+        }
+    return table
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.workdir, exist_ok=True)
+    if args.data_root is None:
+        args.data_root = fabricate_toy_dataset(
+            os.path.join(args.workdir, "data"))
+
+    guided_dir = os.path.join(args.workdir, "expanded_guided")
+    unguided_dir = os.path.join(args.workdir, "expanded_unguided")
+    run_expansion(args, "transform_guidance", guided_dir)
+    run_expansion(args, "none", unguided_dir)
+
+    ckpt_root = os.path.join(args.workdir, "checkpoint")
+    run_training(args, "original", None, ckpt_root)
+    run_training(args, "unguided", unguided_dir, ckpt_root)
+    run_training(args, "guided", guided_dir, ckpt_root)
+
+    table = aggregate(ckpt_root, ["original", "unguided", "guided"])
+    print("\n=== quality loop: downstream accuracy (mean ± std over "
+          f"{len(args.seeds)} seeds) ===")
+    for v, row in table.items():
+        if row["mean"] is None:
+            print(f"{v:<10s}  (no results)")
+        else:
+            print(f"{v:<10s}  {row['mean']:6.2f} ± {row['std']:.2f}  "
+                  f"(n={row['n']})")
+    g, u, o = table["guided"], table["unguided"], table["original"]
+    if g["mean"] is not None and u["mean"] is not None:
+        print(f"delta guided-vs-unguided: {g['mean'] - u['mean']:+.2f}")
+    if g["mean"] is not None and o["mean"] is not None:
+        print(f"delta guided-vs-original: {g['mean'] - o['mean']:+.2f}")
+    with open(os.path.join(args.workdir, "quality_loop.json"), "w") as f:
+        json.dump(table, f, indent=2)
+    return table
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,27 @@ def test_driver_end_to_end_sharded(tmp_path):
     a = np.asarray(Image.open(os.path.join(out_dir, "cls1", "im2_expand_1.png")))
     b = np.asarray(Image.open(os.path.join(out_dir2, "cls1", "im2_expand_1.png")))
     np.testing.assert_array_equal(a, b)
+
+
+def test_guide_chunk_composes_with_mesh(tmp_path):
+    """VERDICT r2 #5: chunked guidance on a sharded mesh — the chunk scan
+    runs inside the jitted program with each sub-batch resharded over the
+    data axis, and matches the unchunked sharded result exactly."""
+    import jax.numpy as jnp
+
+    pipe, params, _sd = _make_tiny_setup(tmp_path)
+    mesh = make_mesh()
+    rng = np.random.RandomState(7)
+    b = 16  # two chunks of 8 (the chunk must shard over the 8-wide axis)
+    lat = jnp.asarray(rng.randn(b, 16, 16, 4), np.float32) * 0.18
+    cond = jnp.asarray(rng.randn(b, 8, 32), np.float32)
+    uncond = jnp.asarray(rng.randn(b, 8, 32), np.float32)
+    targets = jnp.asarray(rng.randint(0, 2, b))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(b))
+
+    plain = pipe.make_split_expand(mesh=mesh)(
+        params, lat, cond, uncond, targets, keys)
+    chunked = pipe.make_split_expand(mesh=mesh, guide_chunk=8)(
+        params, lat, cond, uncond, targets, keys)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(plain),
+                               atol=2e-5, rtol=2e-5)

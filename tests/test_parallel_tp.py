@@ -73,3 +73,67 @@ def test_tp_mesh_shapes():
     mesh = make_tp_mesh(4, 2)
     assert mesh.shape == {"data": 4, "model": 2}
     assert replicated(mesh).spec == jax.sharding.PartitionSpec()
+
+
+def test_tp_forward_with_pallas_attention(tiny_unet, monkeypatch):
+    """VERDICT r2 #4: tp>1 keeps the Pallas flash kernel — attention is
+    shard_map'd over the (data, model) mesh (heads on the model axis when
+    they divide, replicated otherwise) instead of forcing XLA attention.
+    Interpreter mode stands in for the TPU backend on the CPU test mesh."""
+    import distdiff_tpu.ops.flash as fl
+    from distdiff_tpu.ops.attention import tp_sharded_attention
+
+    monkeypatch.setenv("DISTDIFF_FORCE_PALLAS_ATTENTION", "1")
+    monkeypatch.setattr(fl, "INTERPRET", True)
+
+    unet, params, x, ctx = tiny_unet
+    ref = jax.jit(
+        lambda p, xx, cc: unet.apply(p, xx, jnp.array([3]), cc)
+    )(params, x, ctx)
+
+    mesh = make_tp_mesh(2, 4)
+    shardings = unet_param_shardings(mesh, params)
+    with tp_sharded_attention(mesh):
+        fwd = jax.jit(
+            lambda p, xx, cc: unet.apply(p, xx, jnp.array([3]), cc),
+            in_shardings=(shardings, batch_sharding(mesh),
+                          batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+        out = fwd(jax.device_put(params, shardings),
+                  jax.device_put(x, batch_sharding(mesh)),
+                  jax.device_put(ctx, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tp_pallas_grads(tiny_unet, monkeypatch):
+    """The guidance path differentiates through attention: the shard_map'd
+    kernel's custom VJP must compose with TP sharding."""
+    import distdiff_tpu.ops.flash as fl
+    from distdiff_tpu.ops.attention import tp_sharded_attention
+
+    monkeypatch.setenv("DISTDIFF_FORCE_PALLAS_ATTENTION", "1")
+    monkeypatch.setattr(fl, "INTERPRET", True)
+
+    unet, params, x, ctx = tiny_unet
+
+    def loss(p, xx, cc):
+        return jnp.sum(unet.apply(p, xx, jnp.array([3]), cc) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss, argnums=1))(params, x, ctx)
+
+    mesh = make_tp_mesh(2, 4)
+    shardings = unet_param_shardings(mesh, params)
+    with tp_sharded_attention(mesh):
+        gfn = jax.jit(
+            jax.grad(loss, argnums=1),
+            in_shardings=(shardings, batch_sharding(mesh),
+                          batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+        g = gfn(jax.device_put(params, shardings),
+                jax.device_put(x, batch_sharding(mesh)),
+                jax.device_put(ctx, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=5e-4, rtol=5e-3)
