@@ -75,6 +75,50 @@ def build(preset: str, batch: int):
     return pipe, (pipe.full_params(), lat, cond, uncond, targets, keys)
 
 
+def build_sdxl_guided(batch: int, sample_size: int):
+    """SDXL-base GUIDED expansion (beyond-reference flagship recipe): the
+    DistDiff transform_guidance img2img loop on the SDXL geometry — DDIM-50,
+    strength 0.5, CFG, guidance through 2 UNet forwards + 1024^2 VAE decode
+    + ResNet-50. Conditioning comes from the real-geometry dual text towers
+    (encoded on device in setup — the pipeline caches per-class embeds, so
+    tower time is not steady-state cost; ids -> {ctx, add} runs the full
+    towers once here)."""
+    from distdiff_tpu.config import GuidanceConfig, PipelineConfig
+    from distdiff_tpu.models.guide import create_model
+    from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
+
+    config = PipelineConfig.sdxl_base(sample_size=sample_size)
+    guide = create_model("resnet50", num_classes=100, input_size=224,
+                         lazy_init=True)
+    rng = np.random.RandomState(0)
+    gp = rng.randn(guide.num_classes, guide.feature_dim).astype(np.float32)
+    lp = rng.randn(guide.num_classes, 3, guide.feature_dim).astype(np.float32)
+    pipe = ExpansionPipeline.create(
+        config,
+        sampler_cfg=SamplerConfig(guidance_scale=7.5),
+        guidance_cfg=GuidanceConfig(),
+        guide=guide, global_protos=gp, local_protos=lp,
+        strength=0.5, lazy_params=True,
+    )
+    ls = config.latent_size
+    lat = jnp.asarray(rng.randn(batch, ls, ls, 4), jnp.float32) * 0.13
+    tl = config.text_encoder.max_length
+    ids = jnp.asarray(rng.randint(1, 49000, (batch, tl)), jnp.int32)
+    uids = jnp.zeros_like(ids)
+    encode = jax.jit(lambda i1, i2: pipe.encode_text_pair(
+        pipe.params, i1, i2))
+    cond = jax.tree.map(jnp.asarray, encode(ids, ids))
+    uncond = jax.tree.map(jnp.asarray, encode(uids, uids))
+    jax.block_until_ready(cond)
+    targets = jnp.asarray(rng.randint(0, guide.num_classes, batch))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(batch))
+    # drop the text towers from the steady-state params (embeds are cached
+    # per class in real runs; the 2.5GB UNet + VAE stay)
+    params = {k: pipe.params[k] for k in ("unet", "vae")}
+    params["guide"] = pipe.guide.variables
+    return pipe, (params, lat, cond, uncond, targets, keys)
+
+
 def build_sdxl(batch: int, sample_size: int):
     """SDXL-base text-to-image step (no DistDiff guidance — the reference
     recipe is SD-1.x; this preset tracks the framework's flagship-model
@@ -102,9 +146,12 @@ def build_sdxl(batch: int, sample_size: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["sd15", "tiny", "sdxl"], default="sd15")
-    p.add_argument("--batch", type=int, default=8,
-                   help="images per step (throughput scales with batch: "
+    p.add_argument("--preset",
+                   choices=["sd15", "tiny", "sdxl", "sdxl_guided"],
+                   default="sd15")
+    p.add_argument("--batch", type=int, default=None,
+                   help="images per step (default 8 for sd15/tiny, 1 for "
+                        "the sdxl presets; sd15 throughput scales "
                         "1.04/1.21/1.43 img/s/chip at 1/4/8 on v5e-1)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--check", action="store_true",
@@ -120,6 +167,8 @@ def main():
     p.add_argument("--sdxl_size", type=int, default=1024,
                    help="--preset sdxl resolution")
     args = p.parse_args()
+    if args.batch is None:
+        args.batch = 1 if args.preset.startswith("sdxl") else 8
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
           file=sys.stderr)
@@ -168,7 +217,10 @@ def main():
         }))
         return
 
-    pipe, bench_args = build(args.preset, args.batch)
+    if args.preset == "sdxl_guided":
+        pipe, bench_args = build_sdxl_guided(args.batch, args.sdxl_size)
+    else:
+        pipe, bench_args = build(args.preset, args.batch)
     if not args.fp32_params:
         from distdiff_tpu.sampling.pipeline import cast_params_bf16
 
@@ -206,12 +258,19 @@ def main():
         f"steady-state: {dt:.3f}s/batch of {args.batch} "
         f"({ips:.3f} img/s/chip)", file=sys.stderr,
     )
+    metric = {
+        "sd15": "guided images/sec/chip (SD-1.5 DDIM-50 512^2, transform_guidance)",
+        "tiny": "guided images/sec/chip (tiny preset)",
+        "sdxl_guided": f"guided images/sec/chip (SDXL-base DDIM-50 "
+                       f"{args.sdxl_size}^2, transform_guidance)",
+    }[args.preset]
     print(json.dumps({
-        "metric": "guided images/sec/chip (SD-1.5 DDIM-50 512^2, transform_guidance)"
-        if args.preset == "sd15" else "guided images/sec/chip (tiny preset)",
+        "metric": metric,
         "value": round(ips, 4),
         "unit": "img/s/chip",
-        "vs_baseline": round(ips / 2.0, 4),
+        # the 2.0 north star is the SD-1.5 recipe; no SDXL baseline exists
+        "vs_baseline": round(ips / 2.0, 4) if args.preset != "sdxl_guided"
+        else None,
     }))
 
 

@@ -24,8 +24,14 @@ Forward-only kernels: the backward (needed on the guidance path) falls back
 to the differentiable XLA formula via custom_vjp — spans are fwd-only and
 get the full win; guidance pays one recompute on 2 of 25 steps.
 
-Dispatch: TPU && lane-aligned C -> Pallas (single-pass if the slab fits
-VMEM, else chunked); otherwise XLA.
+Dispatch (r3 verdict — see _use_pallas): XLA everywhere by DEFAULT. The
+kernels win in isolation (gn_probe: single-pass 2.2x XLA at [16,32,32,640])
+but LOSE in context: a Pallas call is a fusion barrier, and XLA fuses the
+GN reductions/normalize+silu into the neighboring convs, netting fewer HBM
+passes than any standalone kernel can (UNet fwd CFG-b2: 16.6ms XLA vs
+20.5ms Pallas; bench 1.641 vs 1.558 img/s/chip). The kernels stay behind
+``DISTDIFF_FORCE_PALLAS_GROUPNORM`` / ``DISTDIFF_GN_CHUNKED`` for
+re-evaluation; interpreter-mode tests keep them correct.
 """
 
 from __future__ import annotations
@@ -257,11 +263,23 @@ def _fits_vmem(x) -> bool:
 
 
 def _use_pallas(x, groups) -> bool:
+    # r3 whole-program verdict (scripts/kernel_bench.py --what unet, twice
+    # replicated): XLA GroupNorm beats the Pallas kernel IN CONTEXT — UNet
+    # fwd CFG-b2 16.6ms (XLA) vs 20.5-22.1ms (Pallas on the c%128 slabs),
+    # bench 1.641 vs 1.558 img/s/chip — even though the kernel wins in
+    # isolation (gn_probe: 42us vs 94us at [16,32,32,640]). The custom call
+    # is a fusion BARRIER: XLA fuses the stat reductions and the
+    # normalize+silu into the surrounding convs' epilogues/prologues,
+    # saving more HBM passes than the fused kernel does. Pallas GN stays
+    # behind DISTDIFF_FORCE_PALLAS_GROUPNORM=1 for re-evaluation on future
+    # XLA versions (and INTERPRET mode keeps exercising it in tests).
     if os.environ.get("DISTDIFF_FORCE_XLA_GROUPNORM"):
         return False
     c = x.shape[-1]
     if c % 128 or c % groups:
         return False  # lane-aligned channels only; oddballs take XLA
+    if not (os.environ.get("DISTDIFF_FORCE_PALLAS_GROUPNORM") or INTERPRET):
+        return False
     try:
         return jax.default_backend() == "tpu" or INTERPRET
     except Exception:
@@ -273,7 +291,14 @@ def group_norm(x, scale, bias, groups: int, eps: float = 1e-5, act=None):
     if _use_pallas(x, groups):
         if _fits_vmem(x):
             return _pallas_group_norm(x, scale, bias, groups, eps, act)
-        return _pallas_group_norm_chunked(x, scale, bias, groups, eps, act)
+        if os.environ.get("DISTDIFF_GN_CHUNKED"):
+            # r3 gn_probe verdict: the two-pass kernel streams at only
+            # ~220-300 GB/s vs XLA's ~450-600+ effective on the >VMEM VAE
+            # slabs (scripts/gn_probe.py; chunked 4.88ms vs XLA 2.49ms at
+            # [8,512,512,128]) — XLA stays the default there; the kernel
+            # remains behind this flag for future DMA-overlap tuning.
+            return _pallas_group_norm_chunked(x, scale, bias, groups, eps,
+                                              act)
     return xla_group_norm(x, scale, bias, groups, eps, act)
 
 
