@@ -87,34 +87,64 @@ def build_sdxl_guided(batch: int, sample_size: int):
     from distdiff_tpu.models.guide import create_model
     from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
 
+    from distdiff_tpu.models import AutoencoderKL, CLIPTextEncoder, UNet2DCondition
+    from distdiff_tpu.sampling.pipeline import _unet_init_args
+
     config = PipelineConfig.sdxl_base(sample_size=sample_size)
     guide = create_model("resnet50", num_classes=100, input_size=224,
                          lazy_init=True)
     rng = np.random.RandomState(0)
     gp = rng.randn(guide.num_classes, guide.feature_dim).astype(np.float32)
     lp = rng.randn(guide.num_classes, 3, guide.feature_dim).astype(np.float32)
+
+    # bf16 constant-filled params straight from eval_shape: materializing
+    # the 2.57B UNet leaves fp32 (10.3GB) OOMs a v5e-1 before the bench can
+    # even cast (values are irrelevant to throughput)
+    def fill(shapes):
+        return jax.tree.map(
+            lambda s: jnp.full(
+                s.shape, 0.02,
+                jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype), shapes)
+
+    key = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(config.unet)
+    vae = AutoencoderKL(config.vae)
+    te1 = CLIPTextEncoder(config.text_encoder)
+    te2 = CLIPTextEncoder(config.text_encoder_2)
+    uargs = _unet_init_args(config)
+    img0 = jnp.zeros((1, config.sample_size, config.sample_size, 3), jnp.float32)
+    params = {
+        "unet": fill(jax.eval_shape(unet.init, key, *uargs)["params"]),
+        "vae": fill(jax.eval_shape(vae.init, key, img0)["params"]),
+    }
+    tl = config.text_encoder.max_length
+    ids0 = jnp.zeros((1, tl), jnp.int32)
+    text_params = {
+        "text": fill(jax.eval_shape(te1.init, key, ids0)["params"]),
+        "text_2": fill(jax.eval_shape(te2.init, key, ids0)["params"]),
+    }
     pipe = ExpansionPipeline.create(
         config,
         sampler_cfg=SamplerConfig(guidance_scale=7.5),
         guidance_cfg=GuidanceConfig(),
+        params={**params, **text_params},
         guide=guide, global_protos=gp, local_protos=lp,
-        strength=0.5, lazy_params=True,
+        strength=0.5,
     )
     ls = config.latent_size
     lat = jnp.asarray(rng.randn(batch, ls, ls, 4), jnp.float32) * 0.13
-    tl = config.text_encoder.max_length
     ids = jnp.asarray(rng.randint(1, 49000, (batch, tl)), jnp.int32)
     uids = jnp.zeros_like(ids)
-    encode = jax.jit(lambda i1, i2: pipe.encode_text_pair(
-        pipe.params, i1, i2))
-    cond = jax.tree.map(jnp.asarray, encode(ids, ids))
-    uncond = jax.tree.map(jnp.asarray, encode(uids, uids))
-    jax.block_until_ready(cond)
+    # params as ARG (a closure would capture the towers as 3.2GB of
+    # lowered constants); towers freed from HBM right after
+    encode = jax.jit(pipe.encode_text_pair)
+    cond = jax.tree.map(jnp.asarray, encode(text_params, ids, ids))
+    uncond = jax.tree.map(jnp.asarray, encode(text_params, uids, uids))
+    jax.block_until_ready((cond, uncond))
+    for leaf in jax.tree.leaves(text_params):
+        leaf.delete()
     targets = jnp.asarray(rng.randint(0, guide.num_classes, batch))
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(batch))
-    # drop the text towers from the steady-state params (embeds are cached
-    # per class in real runs; the 2.5GB UNet + VAE stay)
-    params = {k: pipe.params[k] for k in ("unet", "vae")}
     params["guide"] = pipe.guide.variables
     return pipe, (params, lat, cond, uncond, targets, keys)
 
