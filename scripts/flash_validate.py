@@ -59,7 +59,17 @@ def run_case(name, b, tq, tk, h, d, dtype, env=None, atol=None, rtol=None):
     for a, vv in flags.items():
         setattr(flash, a, vv)
     try:
-        atol = atol if atol is not None else (2e-2 if dtype == jnp.bfloat16 else 2e-4)
+        if atol is None:
+            if dtype == jnp.bfloat16:
+                atol = 2e-2
+            elif jax.default_backend() == "tpu":
+                # fp32 inputs still ride bf16 MXU passes at default matmul
+                # precision on TPU — both the kernel's dots and any fp32
+                # "reference" are bf16-pass-limited, so fp32 comparisons
+                # can only be as tight as bf16 rounding allows.
+                atol = 5e-3
+            else:
+                atol = 2e-4
         rtol = rtol if rtol is not None else atol
         rng = np.random.RandomState(hash(name) % 2**31)
         q = jnp.asarray(rng.randn(b, tq, h, d), dtype)
