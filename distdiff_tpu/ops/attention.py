@@ -97,9 +97,18 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return out.astype(q.dtype)
 
 
+# r3 probe (scripts in /tmp, recorded in CLAUDE.md): at the 77-token cross
+# shapes the flash path costs 1.4-1.7ms/layer (CFG-16 T4096) against XLA's
+# 0.50ms — the [B,T,H,D]->[BH,T,D] relayout + per-block launches dwarf the
+# ~4 GFLOP of real work, while XLA folds the transposes into its einsums.
+# Small-kv attention therefore dispatches to XLA; flash handles the big
+# self-attention where it is 2.4-4x ahead.
+_XLA_SMALL_KV = int(os.environ.get("DISTDIFF_XLA_CROSS_KV", "256"))
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Multi-head attention, dispatching to the fastest available path."""
-    if _use_pallas():
+    if _use_pallas() and k.shape[1] > _XLA_SMALL_KV:
         if _TP_CTX["mesh"] is not None:
             return _tp_attention(q, k, v, _TP_CTX["mesh"],
                                  _TP_CTX["data_axis"], _TP_CTX["model_axis"])

@@ -345,7 +345,124 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_in_ref, dq_ref, dk_ref, dv_ref, dk_s, dv_s, *,
+                      scale, kv_len, q_len):
+    """Single backward kernel: recomputes (s, p) ONCE per (i, j) tile and
+    emits all three gradients — the split dq/dkv pair costs 7 dots + 2 exps
+    per tile where 5 dots + 1 exp suffice (the s/p recompute and the
+    do@v dp dot were duplicated). dk/dv accumulate in VMEM scratch over the
+    inner q sweep; dq accumulates THROUGH HBM via an aliased input/output
+    block (read-modify-write per visit — at nk<=2 tiles the extra dq
+    traffic is ~0.2ms against ~6ms of saved recompute at the CFG-16 bench
+    shape)."""
+    i = pl.program_id(2)  # q-block index (innermost: dk/dv scratch persists)
+    nq = pl.num_programs(2)
+    j = pl.program_id(1)
+    block_q = q_ref.shape[1]
+    block_k = k_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        dk_s[...] = jnp.zeros(dk_s.shape, jnp.float32)
+        dv_s[...] = jnp.zeros(dv_s.shape, jnp.float32)
+
+    q = q_ref[0]  # unscaled: feeds the dk accumulation below
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+    if kv_len % block_k or q_len % block_q:  # static: padded rows/cols
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(jnp.logical_and(col < kv_len, row < q_len), p, 0.0)
+
+    do = do_ref[0]
+    dv_s[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    dk_s[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq_in_ref[0] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
+_FUSED_BWD = os.environ.get("DISTDIFF_FLASH_FUSED_BWD", "1") == "1"
+
+
+def _flash_bwd_fused_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len,
+                        block_q, block_k):
+    bh, tqp, dp = q.shape
+    tkp = k.shape[1]
+    delta = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    delta = jnp.broadcast_to(delta, (bh, tqp, STAT_LANES))
+    # dq accumulates through an aliased fp32 buffer (fp32: nk partial sums)
+    dq0 = jnp.zeros((bh, tqp, dp), jnp.float32)
+
+    dq, dk, dv = _pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, kv_len=kv_len,
+                          q_len=q_len),
+        grid=(bh, tkp // block_k, tqp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tqp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tkp, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, tkp, dp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dp), jnp.float32),
+            pltpu.VMEM((block_k, dp), jnp.float32),
+        ],
+        input_output_aliases={6: 0},
+    )(q, k, v, do, lse, delta, dq0)
+    return dq.astype(q.dtype), dk, dv
+
+
 def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k):
+    if _FUSED_BWD:
+        return _flash_bwd_fused_3d(
+            q, k, v, o, lse, do, scale=scale, kv_len=kv_len, q_len=q_len,
+            block_q=block_q, block_k=block_k,
+        )
+    return _flash_bwd_split_3d(
+        q, k, v, o, lse, do, scale=scale, kv_len=kv_len, q_len=q_len,
+        block_q=block_q, block_k=block_k,
+    )
+
+
+def _flash_bwd_split_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k):
     bh, tqp, dp = q.shape
     tkp = k.shape[1]
     delta = jnp.sum(

@@ -142,3 +142,23 @@ def test_bf16_p_close(monkeypatch):
     out, ref = _run_fwd(tq=128, tk=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_split_bwd_matches_fused(monkeypatch):
+    """Both backward implementations (fused single-kernel and the split
+    dq/dkv pair) stay available and agree."""
+    import distdiff_tpu.ops.flash as fl
+
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(1, 200, 2, 40), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 130, 2, 40), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 130, 2, 40), jnp.float32)
+    loss = lambda *a: jnp.sum(flash_attention(*a) ** 2)
+
+    monkeypatch.setattr(fl, "_FUSED_BWD", True)
+    g_f = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(fl, "_FUSED_BWD", False)
+    g_s = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_f, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=2e-5)

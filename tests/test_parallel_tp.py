@@ -83,8 +83,13 @@ def test_tp_forward_with_pallas_attention(tiny_unet, monkeypatch):
     import distdiff_tpu.ops.flash as fl
     from distdiff_tpu.ops.attention import tp_sharded_attention
 
+    import distdiff_tpu.ops.attention as att
+
     monkeypatch.setenv("DISTDIFF_FORCE_PALLAS_ATTENTION", "1")
     monkeypatch.setattr(fl, "INTERPRET", True)
+    # tiny shapes fall under the small-kv XLA dispatch; pin it off so the
+    # test really exercises the shard_map'd Pallas kernel
+    monkeypatch.setattr(att, "_XLA_SMALL_KV", 0)
 
     unet, params, x, ctx = tiny_unet
     ref = jax.jit(
@@ -113,8 +118,13 @@ def test_tp_pallas_grads(tiny_unet, monkeypatch):
     import distdiff_tpu.ops.flash as fl
     from distdiff_tpu.ops.attention import tp_sharded_attention
 
+    import distdiff_tpu.ops.attention as att
+
     monkeypatch.setenv("DISTDIFF_FORCE_PALLAS_ATTENTION", "1")
     monkeypatch.setattr(fl, "INTERPRET", True)
+    # tiny shapes fall under the small-kv XLA dispatch; pin it off so the
+    # test really exercises the shard_map'd Pallas kernel
+    monkeypatch.setattr(att, "_XLA_SMALL_KV", 0)
 
     unet, params, x, ctx = tiny_unet
 
