@@ -80,6 +80,40 @@ class GroupNorm(nn.Module):
         return group_norm(x, scale, bias, groups, self.epsilon, self.act)
 
 
+class SmallConv3x3(nn.Module):
+    """3x3 SAME conv for tiny channel counts — drop-in for ``nn.Conv``
+    (same ``kernel``/``bias`` leaves, HWIO kernel layout).
+
+    XLA's direct conv runs at ~1% MXU when Ci or Co is tiny (the VAE
+    decoder's 128->3 ``conv_out``: 6.3 ms for 14.5 GFLOP at 512^2 b8 —
+    scripts/vae_breakdown.py); ``ops/smallconv`` reformulates as a
+    lane-filling einsum. Compute is ``dtype`` with fp32 accumulation;
+    result is cast to ``out_dtype`` (default ``dtype``)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    out_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from distdiff_tpu.ops import smallconv
+
+        ci = x.shape[-1]
+        co = self.out_channels
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),  # fan_in = 9*Ci, as nn.Conv
+            (3, 3, ci, co), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
+        xb = x.astype(self.dtype)
+        if co <= smallconv.SMALL_COUT:
+            y = smallconv.conv3x3_small_cout(xb, kernel, out_dtype=jnp.float32)
+        else:
+            y = smallconv.conv3x3_small_cin(xb, kernel, out_dtype=jnp.float32)
+        y = y + bias
+        return y.astype(self.out_dtype or self.dtype)
+
+
 class ResnetBlock(nn.Module):
     """GN -> SiLU -> Conv -> (+time) -> GN -> SiLU -> Conv with skip."""
 
@@ -127,7 +161,13 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # 2x nearest upsample as broadcast+reshape: ONE linear-copy pass.
+        # jax.image.resize(method="nearest") lowers to a gather here — 7x
+        # slower fwd (11.7 vs ~1.7ms at 256->512 x256 b8) and a scatter in
+        # the VJP on the guidance backward path (scripts/vae_breakdown.py).
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+        ).reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

@@ -20,6 +20,7 @@ from distdiff_tpu.models.layers import (
     Downsample,
     GroupNorm,
     ResnetBlock,
+    SmallConv3x3,
     SpatialTransformer,
     TimestepMLP,
     Upsample,
@@ -57,8 +58,8 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(dtype)
         x = sample.astype(dtype)
 
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dtype,
-                    name="conv_in")(x)
+        x = SmallConv3x3(cfg.block_out_channels[0], dtype=dtype,
+                         name="conv_in")(x)  # Ci=4: lane-filling im2col form
 
         Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         ST = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
@@ -107,6 +108,6 @@ class UNet2DCondition(nn.Module):
         assert not skips, f"unconsumed skip states: {len(skips)}"
 
         x = GroupNorm(dtype=dtype, act="silu", name="conv_norm_out")(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
-                    name="conv_out")(x)
+        x = SmallConv3x3(cfg.out_channels, dtype=dtype, out_dtype=jnp.float32,
+                         name="conv_out")(x)  # Co=4: tap-einsum form
         return x.astype(jnp.float32)

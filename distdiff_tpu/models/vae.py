@@ -16,7 +16,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from distdiff_tpu.config import VAEConfig
-from distdiff_tpu.models.layers import Downsample, GroupNorm, ResnetBlock, Upsample
+from distdiff_tpu.models.layers import (
+    Downsample, GroupNorm, ResnetBlock, SmallConv3x3, Upsample,
+)
 from distdiff_tpu.ops import attention as attn_op
 
 
@@ -48,8 +50,8 @@ class Encoder(nn.Module):
         cfg = self.config
         dtype = cfg.dtype
         x = x.astype(dtype)
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dtype,
-                    name="conv_in")(x)
+        x = SmallConv3x3(cfg.block_out_channels[0], dtype=dtype,
+                         name="conv_in")(x)  # Ci=3: im2col form
         n = len(cfg.block_out_channels)
         for bi, ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
@@ -62,8 +64,8 @@ class Encoder(nn.Module):
         x = VAEAttention(dtype=dtype, name="mid_attn")(x)
         x = ResnetBlock(mid, use_time_emb=False, dtype=dtype, name="mid_res_1")(x)
         x = GroupNorm(dtype=dtype, act="silu", name="conv_norm_out")(x)
-        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=jnp.float32,
-                    name="conv_out")(x)
+        x = SmallConv3x3(2 * cfg.latent_channels, dtype=dtype,
+                         out_dtype=jnp.float32, name="conv_out")(x)
         return x.astype(jnp.float32)  # moments: [mean | logvar]
 
 
@@ -77,7 +79,7 @@ class Decoder(nn.Module):
         Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         z = z.astype(dtype)
         mid = cfg.block_out_channels[-1]
-        x = nn.Conv(mid, (3, 3), padding=1, dtype=dtype, name="conv_in")(z)
+        x = SmallConv3x3(mid, dtype=dtype, name="conv_in")(z)  # Ci=4
         x = Res(mid, use_time_emb=False, dtype=dtype, name="mid_res_0")(x)
         x = VAEAttention(dtype=dtype, name="mid_attn")(x)
         x = Res(mid, use_time_emb=False, dtype=dtype, name="mid_res_1")(x)
@@ -90,8 +92,11 @@ class Decoder(nn.Module):
             if bi > 0:
                 x = Upsample(ch, dtype=dtype, name=f"up_{ui}_upsample")(x)
         x = GroupNorm(dtype=dtype, act="silu", name="conv_norm_out")(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
-                    name="conv_out")(x)
+        # Co=3 at 512^2: XLA's direct conv is ~1% MXU here — the tap-einsum
+        # form is ~4x faster fwd and avoids the pathological dx conv in the
+        # guidance backward (scripts/vae_breakdown.py, smallconv_probe.py).
+        x = SmallConv3x3(cfg.out_channels, dtype=dtype, out_dtype=jnp.float32,
+                         name="conv_out")(x)
         return x.astype(jnp.float32)
 
 
