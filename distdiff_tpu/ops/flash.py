@@ -451,7 +451,14 @@ def _flash_bwd_fused_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len,
 
 
 def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k):
-    if _FUSED_BWD:
+    # The fused kernel holds q/do/dq blocks + k/v blocks + dk/dv out blocks
+    # + two [bk, dp] f32 scratch accumulators at once; at dp=512 (the VAE's
+    # single 512-wide head) with the dp-shrunk bq=256/bk=1024 that is ~17.3M
+    # scoped VMEM — over the 16M budget (remote-compile OOM, r3). The split
+    # pair peaks lower per kernel and compiled/benched at exactly these
+    # blocks in r2, so big-D takes the split path; the hot UNet dp<=128
+    # backward keeps the fused kernel (5 dots + 1 exp vs the pair's 7 + 2).
+    if _FUSED_BWD and q.shape[-1] <= 128:
         return _flash_bwd_fused_3d(
             q, k, v, o, lse, do, scale=scale, kv_len=kv_len, q_len=q_len,
             block_q=block_q, block_k=block_k,
