@@ -11,6 +11,7 @@ TPU-first conventions used throughout the model zoo:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -171,10 +172,39 @@ class Upsample(nn.Module):
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
+class HeadMajorProj(nn.Module):
+    """Projection straight into head-major ``[B, H, T, D]`` in ONE einsum.
+
+    The parameter tree matches ``nn.Dense(use_bias=False)`` exactly (a
+    ``kernel`` of shape ``[C, H*D]``) so checkpoints, the weight converter
+    and the TP PartitionSpecs are unchanged; only the output layout differs
+    — the ``[B,T,H,D] -> head-major`` relayout the flash kernel would
+    otherwise do folds into the dot's output layout (43-51us/projection at
+    the T4096/T1024 stages, scripts/headmajor_probe.py).
+    """
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (c, self.heads * self.head_dim), jnp.float32,
+        )
+        w = w.reshape(c, self.heads, self.head_dim).astype(self.dtype)
+        return jnp.einsum("btc,chd->bhtd", x.astype(self.dtype), w)
+
+
 class Attention(nn.Module):
     """Multi-head attention over flattened spatial (or token) positions.
 
     Self-attention when ``context`` is None, cross-attention otherwise.
+    Long-sequence stages project qkv head-major (see ``HeadMajorProj``);
+    the output side keeps transpose+Dense, which beats the fused output
+    einsum at every probed stage (out_t 70us vs out_hm 124us at T4096).
     """
 
     num_heads: int
@@ -189,18 +219,27 @@ class Attention(nn.Module):
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        b, tq, _ = x.shape
+        tk = ctx.shape[1]
 
-        b, tq, _ = q.shape
-        tk = k.shape[1]
-        q = q.reshape(b, tq, self.num_heads, self.head_dim)
-        k = k.reshape(b, tk, self.num_heads, self.head_dim)
-        v = v.reshape(b, tk, self.num_heads, self.head_dim)
-
-        out = attn_op.attention(q, k, v)
-        out = out.reshape(b, tq, inner)
+        if attn_op.wants_head_major(tq):
+            proj = functools.partial(
+                HeadMajorProj, self.num_heads, self.head_dim, dtype=self.dtype
+            )
+            q = proj(name="to_q")(x)
+            k = proj(name="to_k")(ctx)
+            v = proj(name="to_v")(ctx)
+            out = attn_op.attention_hm(q, k, v)          # [B, H, Tq, D]
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, tq, inner)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            q = q.reshape(b, tq, self.num_heads, self.head_dim)
+            k = k.reshape(b, tk, self.num_heads, self.head_dim)
+            v = v.reshape(b, tk, self.num_heads, self.head_dim)
+            out = attn_op.attention(q, k, v)
+            out = out.reshape(b, tq, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 
 

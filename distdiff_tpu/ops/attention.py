@@ -116,3 +116,59 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
         return flash.flash_attention(q, k, v)
     return xla_attention(q, k, v)
+
+
+# ------------------------------------------------------ head-major variant
+#
+# Producers that project qkv straight into head-major [B,H,T,D] (one einsum,
+# transpose folded into the dot's output layout — scripts/headmajor_probe.py)
+# call this variant; it skips flash's [B,T,H,D]->[BH,T,D] relayout entirely.
+# Worth using when T is large enough that the relayout passes dominate the
+# projection (>= ~1024 tokens at SD widths); tiny-T stages keep Dense.
+
+def wants_head_major(tq: int) -> bool:
+    min_t = int(os.environ.get("DISTDIFF_HEAD_MAJOR_MIN_T", "1024"))
+    return min_t > 0 and tq >= min_t
+
+
+def xla_attention_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Reference attention in pure XLA over head-major [B,H,T,D] tensors."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def _tp_attention_hm(q, k, v, mesh, data_axis, model_axis):
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax layout
+        from jax.experimental.shard_map import shard_map
+
+    from distdiff_tpu.ops import flash
+
+    h = q.shape[1]
+    nm = mesh.shape[model_axis]
+    head_axis = model_axis if (h % nm == 0 and h >= nm) else None
+    spec = P(data_axis, head_axis, None, None)
+    f = shard_map(
+        flash.flash_attention_hm, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return f(q, k, v)
+
+
+def attention_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Multi-head attention over head-major [B,H,T,D] q/k/v -> [B,H,T,D]."""
+    if _use_pallas() and k.shape[2] > _XLA_SMALL_KV:
+        if _TP_CTX["mesh"] is not None:
+            return _tp_attention_hm(q, k, v, _TP_CTX["mesh"],
+                                    _TP_CTX["data_axis"], _TP_CTX["model_axis"])
+        from distdiff_tpu.ops import flash  # deferred: pallas import is TPU-only
+
+        return flash.flash_attention_hm(q, k, v)
+    return xla_attention_hm(q, k, v)

@@ -600,3 +600,70 @@ def _flash_bwd_rule(res, g):
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# ------------------------------------------------- head-major public op
+#
+# Same kernels, but inputs/outputs are ALREADY head-major ``[B, H, T, D]``
+# so _prep's (0,2,1,3) relayout (4 passes over ~42MB each at CFG-16 T4096)
+# disappears — the producer folds it into its projection einsum's output
+# layout instead (scripts/headmajor_probe.py: 91us vs 134us per qkv
+# projection at T4096 C320).  Gradients are head-major too.
+
+def _prep_hm(q, k, v):
+    """[B,H,T,D] -> [B*H, Tp, Dp] (reshape only; no transpose)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    pad_d = os.environ.get("DISTDIFF_FLASH_PAD_D") == "1"
+    dp = max(_round_up(d, LANES), LANES) if pad_d else d
+    block_q, block_k = _pick_blocks(tq, tk, dp)
+    tqp = _round_up(tq, block_q)
+    tkp = _round_up(tk, block_k)
+
+    def to3d(x, tp):
+        x = x.reshape(b * h, x.shape[2], d)
+        if tp != x.shape[1] or dp != d:
+            x = jnp.pad(x, ((0, 0), (0, tp - x.shape[1]), (0, dp - d)))
+        return x
+
+    return (to3d(q, tqp), to3d(k, tkp), to3d(v, tkp), block_q, block_k,
+            (b, h, tq, tk, d))
+
+
+def _unprep_hm(x3d, meta):
+    b, h, tq, tk, d = meta
+    return x3d[:, :tq, :d].reshape(b, h, tq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention_hm(q, k, v):
+    """Flash attention over head-major ``[B, H, T, D]`` tensors."""
+    out, _ = _flash_fwd_rule_hm(q, k, v)
+    return out
+
+
+def _flash_fwd_rule_hm(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    q3, k3, v3, bq, bk, meta = _prep_hm(q, k, v)
+    o3, lse = _flash_fwd_3d(q3, k3, v3, scale=scale, kv_len=meta[3],
+                            block_q=bq, block_k=bk)
+    return _unprep_hm(o3, meta), (q3, k3, v3, o3, lse, meta, bq, bk)
+
+
+def _flash_bwd_rule_hm(res, g):
+    q3, k3, v3, o3, lse, meta, bq, bk = res
+    b, h, tq, tk, d = meta
+    scale = 1.0 / math.sqrt(d)
+    dp = q3.shape[-1]
+    g3 = g.reshape(b * h, tq, d)
+    g3 = jnp.pad(g3, ((0, 0), (0, q3.shape[1] - tq), (0, dp - d)))
+    bq, bk = _bwd_blocks(bq, bk)
+    dq3, dk3, dv3 = _flash_bwd_3d(
+        q3, k3, v3, o3, lse, g3, scale=scale, kv_len=tk, q_len=tq,
+        block_q=bq, block_k=bk,
+    )
+    return (_unprep_hm(dq3, meta), _unprep_hm(dk3, (b, h, tk, tk, d)),
+            _unprep_hm(dv3, (b, h, tk, tk, d)))
+
+
+flash_attention_hm.defvjp(_flash_fwd_rule_hm, _flash_bwd_rule_hm)

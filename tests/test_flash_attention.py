@@ -162,3 +162,64 @@ def test_split_bwd_matches_fused(monkeypatch):
     for a, b_ in zip(g_f, g_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "b,h,tq,tk,d",
+    [
+        (1, 2, 128, 128, 40),   # unpadded head dim
+        (1, 2, 300, 130, 40),   # padded q AND kv tails
+        (2, 1, 256, 256, 512),  # big-D shrink + split backward
+    ],
+)
+def test_flash_head_major_matches_xla(b, h, tq, tk, d):
+    """Head-major entry: fwd + grads agree with the (transposed) 4-D path,
+    so the relayout-free projection path is numerically identical."""
+    from distdiff_tpu.ops.attention import xla_attention_hm
+    from distdiff_tpu.ops.flash import flash_attention_hm
+
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(b, h, tq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, tk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, tk, d), jnp.float32)
+    out = flash_attention_hm(q, k, v)
+    ref = xla_attention_hm(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention_hm(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(xla_attention_hm(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-4)
+
+
+def test_attention_module_head_major_equivalent(monkeypatch):
+    """The Attention module's head-major path (HeadMajorProj + attention_hm)
+    matches the Dense path bit-for-bit in param tree and numerically in
+    output, self- AND cross-attention."""
+    from distdiff_tpu.models.layers import Attention
+
+    b, t, c = 2, 64, 32
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    ctx = jnp.asarray(rng.randn(b, 7, c), jnp.float32)
+    mod = Attention(num_heads=4, head_dim=8, dtype=jnp.float32)
+
+    monkeypatch.setenv("DISTDIFF_HEAD_MAJOR_MIN_T", "0")
+    p_dense = mod.init(jax.random.PRNGKey(0), x, ctx)
+    y_self_dense = mod.apply(mod.init(jax.random.PRNGKey(0), x), x)
+    y_cross_dense = mod.apply(p_dense, x, ctx)
+
+    monkeypatch.setenv("DISTDIFF_HEAD_MAJOR_MIN_T", "1")
+    p_hm = mod.init(jax.random.PRNGKey(0), x, ctx)
+    assert jax.tree_util.tree_structure(p_dense) == jax.tree_util.tree_structure(p_hm)
+    assert [a.shape for a in jax.tree_util.tree_leaves(p_dense)] == \
+           [a.shape for a in jax.tree_util.tree_leaves(p_hm)]
+    y_self_hm = mod.apply(mod.init(jax.random.PRNGKey(0), x), x)
+    y_cross_hm = mod.apply(p_dense, x, ctx)
+    np.testing.assert_allclose(np.asarray(y_self_hm), np.asarray(y_self_dense),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_cross_hm), np.asarray(y_cross_dense),
+                               atol=2e-5, rtol=2e-5)
