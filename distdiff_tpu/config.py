@@ -267,8 +267,26 @@ class GuidanceConfig:
     #              residual is the tiny pred-x0 latents); UNet steps rely
     #              on inner nn.remat alone — saves one UNet forward
     #              recompute per rollout step vs "step"
-    #   "block"  — inner nn.remat only (OOMs at batch 8 on v5e-1: the
-    #              512^2 VAE decoder block activations don't fit)
+    #   "block"  — inner nn.remat only (OOMs at batch 8 AND 4 on v5e-1:
+    #              BOTH rollout steps' 512^2 VAE decoder block activations
+    #              are live at once and don't fit)
+    #   "step_nru" — like "step" but the rollout's UNet instance has inner
+    #              remat DISABLED: the outer checkpoint's recompute saves
+    #              block activations for the backward instead of
+    #              re-forwarding each block (one step's saves live at a
+    #              time; modest at latent resolution)
+    #   "step_nr"  — "step_nru" plus no inner remat in the VAE decoder
+    #              (needs one step's 512^2 decoder activations in HBM).
+    #              Both *_nr(u) OOM at SD-1.5 bench batch 8 on v5e-1.
+    #   "tail"   — like "step" but the LAST rollout step is NOT outer-
+    #              checkpointed: its backward runs first, so only its
+    #              block-boundary residuals stay live, and the backward
+    #              skips one full step re-forward
+    #   "decode_nr" — outer per-step checkpoint + UNet inner remat, but
+    #              the rollout's VAE decoder instance has inner remat
+    #              DISABLED (the outer recompute's decoder activations are
+    #              reused instead of re-forwarding every decoder block)
+    #   "tail_decode_nr" — "tail" + "decode_nr" combined
     rollout_remat: str = "step"
 
     def wants_global(self) -> bool:

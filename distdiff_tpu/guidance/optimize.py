@@ -120,12 +120,22 @@ def transform_guidance(
             ctx, params, xx, ii, cond, uncond, targets, do_norm,
             remat_decode=(cfg.rollout_remat == "decode"),
         )
-        if cfg.rollout_remat == "step":
+        mode = cfg.rollout_remat
+        ckpt = step
+        if mode.startswith("step") or mode in ("decode_nr",) or \
+                mode.startswith("tail"):
             # outer remat on top of the models' inner nn.remat: minimal HBM,
             # backward pays one extra forward recompute per step
-            step = jax.checkpoint(step, static_argnums=(1,))
-        for i in range(window_start, window_start + cfg.guidance_period):
-            x, e = step(x, i)
+            ckpt = jax.checkpoint(step, static_argnums=(1,))
+        steps = list(range(window_start, window_start + cfg.guidance_period))
+        for idx, i in enumerate(steps):
+            # "tail*" modes: the LAST rollout step's backward runs first,
+            # so skipping its outer checkpoint keeps only one step's
+            # block-boundary residuals live while saving a full step
+            # re-forward in the backward.
+            s = step if (mode.startswith("tail") and idx == len(steps) - 1) \
+                else ckpt
+            x, e = s(x, i)
             score = score + e
         score = score / cfg.guidance_period  # per-sample scores [B]
         # Sum over the batch: samples are independent, so each sample's

@@ -219,10 +219,54 @@ class ExpansionPipeline:
         ).astype(jnp.float32)
 
     def guidance_context(self) -> GuidanceContext:
+        """Build the rollout closure set for the guidance optimizers.
+
+        ``rollout_remat`` modes "step_nru"/"step_nr" swap in no-inner-remat
+        module INSTANCES (same params — ``nn.remat`` is parameter-neutral)
+        for the rollout only: with the outer per-step ``jax.checkpoint``
+        still bounding liveness to one step, dropping the inner block remat
+        lets the backward reuse the recomputed step's activations instead of
+        re-forwarding every block a second time (~1 extra forward per step).
+        "step_nru" lifts it for the UNet only; "step_nr" lifts the 512^2
+        VAE decoder too. Both OOM at SD-1.5 bench batch 8 on v5e-1 (full
+        no-remat saves — GEGLU inners, attention projections — far exceed
+        block boundaries); they remain useful at smaller batches.
+        "decode_nr"/"tail_decode_nr" lift ONLY the VAE decoder's inner
+        remat (UNet keeps nn.remat), the measured ~155ms/step re-forward.
+        """
+        mode = self.guidance_cfg.rollout_remat
+        eps_fn = self.eps_fn()
+        decode_fn = lambda p, z: self.guide_decode_fn(p, z)  # noqa: E731
+        if mode in ("step_nru", "step_nr"):
+            unet_nr = UNet2DCondition(
+                dataclasses.replace(self.config.unet, remat=False)
+            )
+            def unet_apply_nr(p, x, t, ctx):
+                if isinstance(ctx, dict):
+                    return unet_nr.apply(
+                        {"params": p["unet"]}, x, t, ctx["ctx"], ctx["add"]
+                    )
+                return unet_nr.apply({"params": p["unet"]}, x, t, ctx)
+            eps_fn = make_eps_fn(unet_apply_nr, self.sampler_cfg)
+        if mode in ("step_nr", "decode_nr", "tail_decode_nr"):
+            vae_nr = AutoencoderKL(
+                dataclasses.replace(self.config.vae, remat=False)
+            )
+            def decode_fn(p, z):  # noqa: F811
+                img = vae_nr.apply(
+                    {"params": p["vae"]},
+                    z.astype(jnp.float32) / self.config.vae.scaling_factor,
+                    method=vae_nr.decode,
+                )
+                b = img.shape[0]
+                size = self.guidance_cfg.guide_input_size
+                return jax.image.resize(
+                    img, (b, size, size, 3), method="bicubic"
+                )
         return GuidanceContext(
             sched=self.sched,
-            eps_fn=self.eps_fn(),
-            decode_fn=lambda p, z: self.guide_decode_fn(p, z),
+            eps_fn=eps_fn,
+            decode_fn=decode_fn,
             encode_fn=lambda p, im: self.guide_encode_fn(p, im),
             cfg=self.guidance_cfg,
             global_protos=self.global_protos,

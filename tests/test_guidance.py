@@ -126,3 +126,43 @@ def test_transform_guidance_linf_constraint():
     assert max_dev <= 0.2 + 1e-5, max_dev
     # and the update actually moved the latents
     assert max_dev > 1e-7
+
+
+def test_rollout_remat_modes_equivalent():
+    """"step_nru"/"step_nr" swap in no-inner-remat module instances for the
+    guidance rollout (pipeline.guidance_context) — same math, different
+    rematerialisation schedule, so outputs must match "step" closely."""
+    import dataclasses
+
+    from distdiff_tpu.guidance import transform_guidance
+
+    pipe = _tiny_pipeline("transform_guidance")
+    params = pipe.full_params()
+    ls = pipe.config.latent_size
+    rng = np.random.RandomState(3)
+    lat = jnp.asarray(rng.randn(2, ls, ls, 4), jnp.float32)
+    cond = jnp.asarray(rng.randn(2, 8, 32), jnp.float32)
+    uncond = jnp.asarray(rng.randn(2, 8, 32), jnp.float32)
+    targets = jnp.asarray([0, 1])
+    # per-sample keys: an old-style PRNGKey has shape (2,) which would
+    # collide with the batch-2 per-sample-key detection in transform_guidance
+    key = jax.random.split(jax.random.PRNGKey(4), 2)
+    outs = {}
+    for mode in ("step", "step_nru", "step_nr", "tail", "decode_nr",
+                 "tail_decode_nr"):
+        pipe.guidance_cfg = dataclasses.replace(
+            pipe.guidance_cfg, rollout_remat=mode
+        )
+        ctx = pipe.guidance_context()
+        out, score = jax.jit(
+            lambda *a: transform_guidance(ctx, *a, window_start=6)
+        )(params, lat, cond, uncond, targets, key)
+        outs[mode] = (np.asarray(out), np.asarray(score))
+    for mode in ("step_nru", "step_nr", "tail", "decode_nr",
+                 "tail_decode_nr"):
+        np.testing.assert_allclose(
+            outs[mode][0], outs["step"][0], rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            outs[mode][1], outs["step"][1], rtol=2e-3, atol=2e-4
+        )
