@@ -259,9 +259,14 @@ def main():
     if args.fused:
         expand = jax.jit(pipe.make_expand_fn())
     else:
-        # chunk the guidance backward at 8 samples: its remat'd rollout is
-        # the HBM peak; the denoise spans alone scale to larger batches
-        chunk = 8 if args.batch > 8 else None
+        # chunk the guidance backward: its remat'd rollout is the HBM peak;
+        # the denoise spans alone scale to larger batches. SD-1.5: chunk at
+        # 8 beyond batch 8. SDXL guided: batch 2 misses HBM by only ~59MB
+        # unchunked (15.81/15.75G), so chunk at 1 beyond batch 1.
+        if args.preset == "sdxl_guided":
+            chunk = 1 if args.batch > 1 else None
+        else:
+            chunk = 8 if args.batch > 8 else None
         expand = pipe.make_split_expand(guide_chunk=chunk)
 
     t0 = time.time()

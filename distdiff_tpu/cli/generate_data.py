@@ -48,11 +48,12 @@ def parse_args(argv=None):
     p.add_argument("--sd_checkpoint", type=str, default=None,
                    help="local diffusers-format SD checkpoint dir to convert")
     p.add_argument("--model", type=str, default="sd15",
-                   choices=["sd15", "sdxl"],
-                   help="diffusion backbone: sd15 (reference recipe) or "
-                        "sdxl (beyond-reference; dual text encoders + "
-                        "additive conditioning, full guided-expansion "
-                        "support)")
+                   choices=["sd15", "sd21", "sdxl"],
+                   help="diffusion backbone: sd15 (reference recipe), "
+                        "sd21 (beyond-reference; OpenCLIP-H text tower + "
+                        "v-prediction DDIM at 768), or sdxl "
+                        "(beyond-reference; dual text encoders + additive "
+                        "conditioning, full guided-expansion support)")
     p.add_argument("--params_path", type=str, default=None,
                    help="previously converted/saved params (orbax dir)")
     p.add_argument("--arch", "-a", type=str, default="open_clip_vit_b32")
@@ -117,17 +118,27 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
     from distdiff_tpu.config import GuidanceConfig, PipelineConfig
     from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
 
-    sdxl = getattr(args, "model", "sd15") == "sdxl"
+    model = getattr(args, "model", "sd15")
+    sdxl = model == "sdxl"
     if args.tiny:
         if sdxl:
             config = PipelineConfig.sdxl_tiny(
                 sample_size=min(args.resolution, 64))
         else:
             config = PipelineConfig.tiny(sample_size=min(args.resolution, 64))
+            if model == "sd21":  # exercise the v-prediction path at tiny
+                config = dataclasses.replace(
+                    config, prediction_type="v_prediction")
         guide_input = config.sample_size
     elif sdxl:
         config = dataclasses.replace(
             PipelineConfig.sdxl_base(sample_size=args.resolution),
+            num_inference_steps=args.steps,
+        )
+        guide_input = 224
+    elif model == "sd21":
+        config = dataclasses.replace(
+            PipelineConfig.sd21(sample_size=args.resolution),
             num_inference_steps=args.steps,
         )
         guide_input = 224

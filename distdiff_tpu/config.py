@@ -34,6 +34,11 @@ class UNetConfig:
     # embeds | sinusoidal(time_ids)] vector fed through add_embedding
     # (2816 = 1280 + 6*256 for SDXL-base). None disables it.
     addition_embed_dim: Optional[int] = None
+    # Weight-LAYOUT hint only (diffusers use_linear_projection): SD-2.x /
+    # SDXL checkpoints store transformer proj_in/out as linear [C,C], SD-1.x
+    # as 1x1 conv [C,C,1,1]. Our model always uses Dense; the converter and
+    # synth-checkpoint enumerator consult this flag.
+    linear_projection: bool = False
     # Rematerialize blocks in the backward pass (the role of the reference's
     # --gradient_checkpointing, generate_data.py:1049-1052): guidance
     # backprops through the UNet and would not fit HBM otherwise.
@@ -68,6 +73,22 @@ class UNetConfig:
             num_attention_heads=(5, 10, 20),
             cross_attention_dim=2048,
             addition_embed_dim=2816,
+        )
+
+    @staticmethod
+    def sd21() -> "UNetConfig":
+        """SD-2.1: SD-1.x topology with head_dim 64 everywhere (per-block
+        heads 5/10/20/20) and the 1024-d OpenCLIP-H text context
+        (diffusers stabilityai/stable-diffusion-2-1 unet config;
+        865,910,724 params — pinned in weights/sd15_geometry.py). The
+        reference is SD-1.x-only (generate_data.py:166-172); this is
+        beyond-reference surface. diffusers' use_linear_projection is a
+        weight-layout detail only: our transformers already express 1x1
+        projections as Dense."""
+        return UNetConfig(
+            num_attention_heads=(5, 10, 20, 20),
+            cross_attention_dim=1024,
+            linear_projection=True,
         )
 
     @staticmethod
@@ -142,6 +163,17 @@ class TextEncoderConfig:
         return TextEncoderConfig()
 
     @staticmethod
+    def sd21() -> "TextEncoderConfig":
+        """SD-2's text encoder: the OpenCLIP ViT-H/14 text tower truncated
+        to 23 layers (diffusers ships the truncation; the conditioning is
+        its final-layer-norm output), width 1024, plain gelu
+        (340,387,840 params — pinned in weights/sd15_geometry.py)."""
+        return TextEncoderConfig(
+            hidden_size=1024, num_layers=23, num_heads=16,
+            activation="gelu",
+        )
+
+    @staticmethod
     def sdxl_big() -> "TextEncoderConfig":
         """SDXL's text_encoder_2: OpenCLIP-bigG text tower (width 1280,
         32 layers, plain gelu, projected pooled output)."""
@@ -171,6 +203,9 @@ class PipelineConfig:
     text_encoder_2: Optional[TextEncoderConfig] = None
     sample_size: int = 512  # pixel resolution
     num_inference_steps: int = 50
+    # DDIM parameterization of the UNet output: "epsilon" (SD-1.x, SDXL)
+    # or "v_prediction" (SD-2.1 768-v) — schedulers/ddim.py:117-124.
+    prediction_type: str = "epsilon"
 
     @property
     def vae_scale_factor(self) -> int:
@@ -196,6 +231,20 @@ class PipelineConfig:
             text_encoder=TextEncoderConfig.sd15(),
             text_encoder_2=TextEncoderConfig.sdxl_big(),
             sample_size=sample_size,
+        )
+
+    @staticmethod
+    def sd21(sample_size: int = 768,
+             prediction_type: str = "v_prediction") -> "PipelineConfig":
+        """SD-2.1 (768-v by default: v-prediction DDIM). Pass
+        ``sample_size=512, prediction_type="epsilon"`` for the 512-base
+        variant. Same VAE geometry/scale as SD-1.x."""
+        return PipelineConfig(
+            unet=UNetConfig.sd21(),
+            vae=VAEConfig.sd15(),
+            text_encoder=TextEncoderConfig.sd21(),
+            sample_size=sample_size,
+            prediction_type=prediction_type,
         )
 
     @staticmethod

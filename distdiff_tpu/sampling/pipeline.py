@@ -98,7 +98,10 @@ class ExpansionPipeline:
         seed: int = 0,
         lazy_params: bool = False,
     ) -> "ExpansionPipeline":
-        sched = make_schedule(config.num_inference_steps)
+        sched = make_schedule(
+            config.num_inference_steps,
+            prediction_type=config.prediction_type,
+        )
         unet = UNet2DCondition(config.unet)
         vae = AutoencoderKL(config.vae)
         text_encoder = CLIPTextEncoder(config.text_encoder)

@@ -87,9 +87,12 @@ def sd15_unet_state_shapes(
     in_channels: int = 4,
     out_channels: int = 4,
     temb_mult: int = 4,
+    linear_proj: bool = False,
 ) -> Dict[str, Shape]:
-    """Defaults = SD-1.5. Other geometries (e.g. the test-tiny config)
-    produce the key list diffusers would emit for that architecture."""
+    """Defaults = SD-1.5. Other geometries (e.g. the test-tiny config, or
+    SD-2.1 via ``ctx=1024, linear_proj=True`` — use_linear_projection in
+    diffusers' stabilityai/stable-diffusion-2-1 unet config) produce the
+    key list diffusers would emit for that architecture."""
     chans = list(chans)
     temb = chans[0] * temb_mult
     nb = len(chans)
@@ -109,13 +112,15 @@ def sd15_unet_state_shapes(
             _resnet(f"down_blocks.{i}.resnets.{j}", cin if j == 0 else cout,
                     cout, temb, out)
             if cross_attention[i]:
-                _transformer2d(f"down_blocks.{i}.attentions.{j}", cout, ctx, out)
+                _transformer2d(f"down_blocks.{i}.attentions.{j}", cout, ctx, out,
+                               linear_proj=linear_proj)
         if i < nb - 1:
             out[f"down_blocks.{i}.downsamplers.0.conv.weight"] = (cout, cout, 3, 3)
             out[f"down_blocks.{i}.downsamplers.0.conv.bias"] = (cout,)
 
     _resnet("mid_block.resnets.0", chans[-1], chans[-1], temb, out)
-    _transformer2d("mid_block.attentions.0", chans[-1], ctx, out)
+    _transformer2d("mid_block.attentions.0", chans[-1], ctx, out,
+                   linear_proj=linear_proj)
     _resnet("mid_block.resnets.1", chans[-1], chans[-1], temb, out)
 
     # up: mirror of down with layers+1 resnets, each consuming a skip
@@ -132,7 +137,8 @@ def sd15_unet_state_shapes(
             _resnet(f"up_blocks.{i}.resnets.{j}", res_in + res_skip, cout,
                     temb, out)
             if rev_attn[i]:
-                _transformer2d(f"up_blocks.{i}.attentions.{j}", cout, ctx, out)
+                _transformer2d(f"up_blocks.{i}.attentions.{j}", cout, ctx, out,
+                               linear_proj=linear_proj)
         if i < nb - 1:
             out[f"up_blocks.{i}.upsamplers.0.conv.weight"] = (cout, cout, 3, 3)
             out[f"up_blocks.{i}.upsamplers.0.conv.bias"] = (cout,)
@@ -324,6 +330,9 @@ def sd15_text_state_shapes(
 
 PARAM_TOTALS = {
     "unet": 859_520_964,
+    # SD-2.1 (published diffusers totals: stabilityai/stable-diffusion-2-1)
+    "sd21_unet": 865_910_724,
+    "sd21_text": 340_387_840,
     "vae": 83_653_863,
     "text": 123_060_480,
     "sdxl_unet": 2_567_463_684,

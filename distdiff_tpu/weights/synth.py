@@ -60,6 +60,7 @@ def state_shapes_for_config(config):
             ctx=u.cross_attention_dim, cross_attention=u.cross_attention,
             in_channels=u.in_channels, out_channels=u.out_channels,
             temb_mult=u.time_embed_dim_mult,
+            linear_proj=u.linear_projection,
         )
     t2 = config.text_encoder_2
     if t2 is not None:

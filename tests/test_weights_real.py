@@ -167,3 +167,36 @@ def test_tiny_geometry_enumeration_matches_our_models():
         assert not (missing or extra or mismatched), (
             comp, missing[:5], extra[:5], mismatched[:5]
         )
+
+
+# ---------------------------------------------------------------- SD-2.1
+
+
+def test_sd21_enumeration_matches_published_totals():
+    """Our SD-2.1 geometry (ctx=1024, linear projections, 23-layer/1024-d
+    text tower) reproduces the published diffusers param totals exactly
+    (stabilityai/stable-diffusion-2-1: UNet 865,910,724; text 340,387,840).
+    Beyond-reference surface — the reference is SD-1.x-only
+    (generate_data.py:166-172)."""
+    u = sd15_unet_state_shapes(ctx=1024, linear_proj=True)
+    t = sd15_text_state_shapes(d=1024, ff=4096, layers=23)
+    assert sum(int(np.prod(s)) for s in u.values()) == PARAM_TOTALS["sd21_unet"]
+    assert sum(int(np.prod(s)) for s in t.values()) == PARAM_TOTALS["sd21_text"]
+
+
+@pytest.mark.parametrize("comp", ["unet", "vae", "text"])
+def test_real_sd21_key_coverage_is_exact(comp):
+    """EVERY diffusers SD-2.1 key converts onto our PipelineConfig.sd21()
+    template: 0 missing / 0 extra / 0 shape-mismatched (np.zeros is lazily
+    allocated, transposes are views — this never touches 3.4GB)."""
+    cfg = PipelineConfig.sd21()
+    shapes = state_shapes_for_config(cfg)[comp]
+    state = {k: np.zeros(s, np.float32) for k, s in shapes.items()}
+    converted = unflatten(convert_state_dict(state, _MAPPERS[comp]))
+    tpl = build_param_templates(cfg)
+    missing, extra, mismatched = validate_against_template(
+        converted, tpl[comp]
+    )
+    assert not missing, missing[:10]
+    assert not extra, extra[:10]
+    assert not mismatched, mismatched[:10]
