@@ -30,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(preset: str, batch: int):
+def build(preset: str, batch: int, scheduler: str = "ddim"):
+    import dataclasses
+
     from distdiff_tpu.config import GuidanceConfig, PipelineConfig
     from distdiff_tpu.models.guide import create_model
     from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
@@ -43,12 +45,22 @@ def build(preset: str, batch: int):
             guidance_type="transform_guidance", guidance_step=4,
             guidance_period=2, K=3, guide_input_size=32,
         )
+    elif preset == "sd21":
+        # SD-2.1 768-v guided expansion (beyond-reference model family):
+        # v-prediction DDIM, head_dim-64 attention, OpenCLIP-H 1024-d
+        # context — same transform_guidance recipe as sd15.
+        config = PipelineConfig.sd21()
+        guide = create_model("resnet50", num_classes=100, input_size=224,
+                             lazy_init=True)
+        gcfg = GuidanceConfig()
     else:
         config = PipelineConfig.sd15()
         guide = create_model("resnet50", num_classes=100, input_size=224,
                              lazy_init=True)
         gcfg = GuidanceConfig()  # reference defaults (expand_diff.sh)
 
+    if scheduler != "ddim":
+        config = dataclasses.replace(config, scheduler=scheduler)
     rng = np.random.RandomState(0)
     gp = rng.randn(guide.num_classes, guide.feature_dim).astype(np.float32)
     lp = rng.randn(guide.num_classes, gcfg.K, guide.feature_dim).astype(np.float32)
@@ -177,12 +189,13 @@ def build_sdxl(batch: int, sample_size: int):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset",
-                   choices=["sd15", "tiny", "sdxl", "sdxl_guided"],
+                   choices=["sd15", "tiny", "sd21", "sdxl", "sdxl_guided"],
                    default="sd15")
     p.add_argument("--batch", type=int, default=None,
-                   help="images per step (default 8 for sd15/tiny, 1 for "
-                        "the sdxl presets; sd15 throughput scales "
-                        "1.04/1.21/1.43 img/s/chip at 1/4/8 on v5e-1)")
+                   help="images per step (default 8 for sd15/tiny, 4 for "
+                        "sd21 [768^2], 1 for the sdxl presets; sd15 "
+                        "throughput scales 1.04/1.21/1.43 img/s/chip at "
+                        "1/4/8 on v5e-1)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--check", action="store_true",
                    help="validate flash attention on this backend first")
@@ -196,9 +209,17 @@ def main():
                         "bf16 with fp32 statistics either way)")
     p.add_argument("--sdxl_size", type=int, default=1024,
                    help="--preset sdxl resolution")
+    p.add_argument("--scheduler", default="ddim",
+                   choices=["ddim", "dpmpp"],
+                   help="sampling solver for the sd15/tiny/sd21 presets "
+                        "(the OFFICIAL BASELINE.md metric is DDIM-50; dpmpp "
+                        "is the beyond-reference DPM-Solver++(2M) datapoint "
+                        "— pair with --steps-style step counts via preset "
+                        "configs)")
     args = p.parse_args()
     if args.batch is None:
-        args.batch = 1 if args.preset.startswith("sdxl") else 8
+        args.batch = {"sdxl": 1, "sdxl_guided": 1, "sd21": 4}.get(
+            args.preset, 8)
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
           file=sys.stderr)
@@ -250,7 +271,8 @@ def main():
     if args.preset == "sdxl_guided":
         pipe, bench_args = build_sdxl_guided(args.batch, args.sdxl_size)
     else:
-        pipe, bench_args = build(args.preset, args.batch)
+        pipe, bench_args = build(args.preset, args.batch,
+                                 scheduler=args.scheduler)
     if not args.fp32_params:
         from distdiff_tpu.sampling.pipeline import cast_params_bf16
 
@@ -265,6 +287,10 @@ def main():
         # unchunked (15.81/15.75G), so chunk at 1 beyond batch 1.
         if args.preset == "sdxl_guided":
             chunk = 1 if args.batch > 1 else None
+        elif args.preset == "sd21":
+            # 768^2 guidance rollout is ~2.25x the 512^2 activation
+            # footprint at the same param size — chunk beyond batch 4
+            chunk = 4 if args.batch > 4 else None
         else:
             chunk = 8 if args.batch > 8 else None
         expand = pipe.make_split_expand(guide_chunk=chunk)
@@ -296,16 +322,20 @@ def main():
     metric = {
         "sd15": "guided images/sec/chip (SD-1.5 DDIM-50 512^2, transform_guidance)",
         "tiny": "guided images/sec/chip (tiny preset)",
+        "sd21": "guided images/sec/chip (SD-2.1 768-v DDIM-50, transform_guidance)",
         "sdxl_guided": f"guided images/sec/chip (SDXL-base DDIM-50 "
                        f"{args.sdxl_size}^2, transform_guidance)",
     }[args.preset]
+    official = args.preset in ("sd15", "tiny") and args.scheduler == "ddim"
+    if args.scheduler != "ddim":
+        metric += f" [{args.scheduler}]"
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 4),
         "unit": "img/s/chip",
-        # the 2.0 north star is the SD-1.5 recipe; no SDXL baseline exists
-        "vs_baseline": round(ips / 2.0, 4) if args.preset != "sdxl_guided"
-        else None,
+        # the 2.0 north star is the SD-1.5 512^2 DDIM-50 recipe; no
+        # published baseline exists for other schedulers/geometries
+        "vs_baseline": round(ips / 2.0, 4) if official else None,
     }))
 
 

@@ -64,6 +64,12 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=50,
                    help="DDIM steps (the reference parses but hardcodes 50, "
                         "generate_data.py:217,1043 — here the flag is live)")
+    p.add_argument("--scheduler", type=str, default="ddim",
+                   choices=["ddim", "dpmpp"],
+                   help="sampling solver (beyond-reference: dpmpp = "
+                        "DPM-Solver++(2M); the DistDiff guidance window "
+                        "advances with the DDIM update either way and the "
+                        "solver history resets at the splice)")
     p.add_argument("--K", type=int, default=3)
     p.add_argument("--guidance_step", type=int, default=20)
     p.add_argument("--guidance_period", type=int, default=2)
@@ -147,6 +153,8 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
             sample_size=args.resolution, num_inference_steps=args.steps
         )
         guide_input = 224
+    if getattr(args, "scheduler", "ddim") != "ddim":
+        config = dataclasses.replace(config, scheduler=args.scheduler)
 
     params = None
     if args.params_path:

@@ -206,6 +206,10 @@ class PipelineConfig:
     # DDIM parameterization of the UNet output: "epsilon" (SD-1.x, SDXL)
     # or "v_prediction" (SD-2.1 768-v) — schedulers/ddim.py:117-124.
     prediction_type: str = "epsilon"
+    # Sampling solver: "ddim" (the reference's DDIMScheduler,
+    # generate_data.py:863-864) or "dpmpp" (DPM-Solver++(2M),
+    # beyond-reference — schedulers/dpm.py).
+    scheduler: str = "ddim"
 
     @property
     def vae_scale_factor(self) -> int:

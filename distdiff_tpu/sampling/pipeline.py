@@ -34,7 +34,10 @@ from distdiff_tpu.sampling.sampler import (
 )
 from distdiff_tpu.schedulers import (
     DDIMSchedule,
+    DPMSchedule,
+    build_schedule,
     ddim_step,
+    denoise_range_dpm,
     guidance_window,
     img2img_start_index,
     make_schedule,
@@ -98,7 +101,8 @@ class ExpansionPipeline:
         seed: int = 0,
         lazy_params: bool = False,
     ) -> "ExpansionPipeline":
-        sched = make_schedule(
+        sched = build_schedule(
+            config.scheduler,
             config.num_inference_steps,
             prediction_type=config.prediction_type,
         )
@@ -490,6 +494,12 @@ class SplitExpand:
             return lat
 
         def span_fn(params, x, cond, uncond, lo, hi):
+            if isinstance(sched, DPMSchedule):
+                # multistep solver: carry-based loop (handles traced bounds);
+                # x0 history resets per span, matching the guidance splice
+                return denoise_range_dpm(
+                    sched, eps_fn, params, x, cond, uncond, lo, hi)
+
             def body(i, xx):
                 t = sched.timesteps[i]
                 e = eps_fn(params, xx, t, cond, uncond)

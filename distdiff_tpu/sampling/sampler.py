@@ -21,8 +21,10 @@ import jax.numpy as jnp
 
 from distdiff_tpu.schedulers import (
     DDIMSchedule,
+    DPMSchedule,
     add_noise,
     ddim_step,
+    denoise_range_dpm,
     guidance_window,
     img2img_start_index,
 )
@@ -67,7 +69,14 @@ def denoise_range(
     start: int,
     stop: int,
 ) -> jnp.ndarray:
-    """Run plan steps [start, stop) under one fori_loop. Static bounds."""
+    """Run plan steps [start, stop) under one fori_loop. Static bounds.
+
+    Dispatches on the schedule type: a :class:`DPMSchedule` runs the
+    multistep DPM-Solver++(2M) loop (x0-history carry, reset per segment);
+    anything else takes the DDIM update."""
+    if isinstance(sched, DPMSchedule):
+        return denoise_range_dpm(
+            sched, eps_fn, params, latents, cond, uncond, start, stop)
     if stop <= start:
         return latents
 

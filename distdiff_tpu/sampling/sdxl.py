@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from distdiff_tpu.config import PipelineConfig
 from distdiff_tpu.models import AutoencoderKL, CLIPTextEncoder, UNet2DCondition
 from distdiff_tpu.models.layers import timestep_embedding
-from distdiff_tpu.sampling.sampler import SamplerConfig, img2img_init
-from distdiff_tpu.schedulers import DDIMSchedule, ddim_step, make_schedule
+from distdiff_tpu.sampling.sampler import SamplerConfig, denoise_range, img2img_init
+from distdiff_tpu.schedulers import DDIMSchedule, build_schedule
 
 
 def time_ids_embedding(time_ids: jnp.ndarray, dim_per_id: int = 256) -> jnp.ndarray:
@@ -83,7 +83,7 @@ class SDXLPipeline:
                                       seed=seed, lazy=lazy_params)
         return SDXLPipeline(
             config=config, sampler_cfg=sampler_cfg,
-            sched=make_schedule(config.num_inference_steps),
+            sched=build_schedule(config.scheduler, config.num_inference_steps),
             unet=unet, vae=vae, text_encoder=te1, text_encoder_2=te2,
             params=params, strength=strength, offset_noise=offset_noise,
         )
@@ -141,12 +141,13 @@ class SDXLPipeline:
             ctx2 = jnp.concatenate([uncond_ctx, cond_ctx], axis=0)
             add2 = jnp.concatenate([uncond_add, cond_add], axis=0)
 
-            def body(i, xx):
-                e = eps_fn(params, xx, sched.timesteps[i], ctx2, add2)
-                xp, _ = ddim_step(sched, e, i, xx)
-                return xp
+            # adapt to the 5-arg eps contract so denoise_range dispatches
+            # the solver (DDIM or DPM-Solver++) exactly as the SD-1.x path
+            def eps5(p, xx, t, cond, _uncond):
+                return eps_fn(p, xx, t, *cond)
 
-            x = jax.lax.fori_loop(start, n, body, x)
+            x = denoise_range(sched, eps5, params, x, (ctx2, add2), None,
+                              start, n)
             z = x.astype(jnp.float32) / self.config.vae.scaling_factor
             img = self.vae.apply({"params": params["vae"]}, z,
                                  method=self.vae.decode)

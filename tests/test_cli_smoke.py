@@ -117,6 +117,25 @@ def test_gridmask_ramp_actually_advances(toy_root, tmp_path, monkeypatch):
     assert epochs_seen == [0, 1], epochs_seen
 
 
+def test_cli_generate_data_dpmpp(toy_root, tmp_path, monkeypatch):
+    """--scheduler dpmpp drives the guided expansion CLI end-to-end
+    (beyond-reference solver; schedulers/dpm.py)."""
+    from distdiff_tpu.cli import generate_data as cli_gen
+
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "out_dpm")
+    stats = cli_gen.main([
+        "-d", "breastmnist", "--data_root", toy_root, "--tiny",
+        "--scheduler", "dpmpp",
+        "--guidance_type", "transform_guidance", "--guidance_step", "4",
+        "--guidance_period", "2", "--K", "2",
+        "--num_images_per_prompt", "1", "--train_batch_size", "1",
+        "--max_units", "2", "--output_dir", out, "--seed", "0",
+        "--resolution", "32",
+    ])
+    assert stats["written"] > 0
+
+
 def test_cli_generate_data_tiny(toy_root, tmp_path, monkeypatch):
     """Full expansion CLI: tiny pipeline, guidance on, sharded driver,
     PNG contract {out}/{class}/{stem}_expand_{i}.png."""
