@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(preset: str, batch: int, scheduler: str = "ddim"):
+def build(preset: str, batch: int, scheduler: str = "ddim",
+          steps: int = None):
     import dataclasses
 
     from distdiff_tpu.config import GuidanceConfig, PipelineConfig
@@ -61,6 +62,10 @@ def build(preset: str, batch: int, scheduler: str = "ddim"):
 
     if scheduler != "ddim":
         config = dataclasses.replace(config, scheduler=scheduler)
+    if steps is not None:
+        # non-default step plans: the guidance window (guidance_step=20
+        # from the END) clamps to the img2img start exactly like the CLI
+        config = dataclasses.replace(config, num_inference_steps=steps)
     rng = np.random.RandomState(0)
     gp = rng.randn(guide.num_classes, guide.feature_dim).astype(np.float32)
     lp = rng.randn(guide.num_classes, gcfg.K, guide.feature_dim).astype(np.float32)
@@ -213,9 +218,11 @@ def main():
                    choices=["ddim", "dpmpp"],
                    help="sampling solver for the sd15/tiny/sd21 presets "
                         "(the OFFICIAL BASELINE.md metric is DDIM-50; dpmpp "
-                        "is the beyond-reference DPM-Solver++(2M) datapoint "
-                        "— pair with --steps-style step counts via preset "
-                        "configs)")
+                        "is the beyond-reference DPM-Solver++(2M) datapoint)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override the inference step plan for the "
+                        "sd15/tiny/sd21 presets (e.g. --scheduler dpmpp "
+                        "--steps 25; official metric stays DDIM-50)")
     args = p.parse_args()
     if args.batch is None:
         args.batch = {"sdxl": 1, "sdxl_guided": 1, "sd21": 4}.get(
@@ -272,7 +279,7 @@ def main():
         pipe, bench_args = build_sdxl_guided(args.batch, args.sdxl_size)
     else:
         pipe, bench_args = build(args.preset, args.batch,
-                                 scheduler=args.scheduler)
+                                 scheduler=args.scheduler, steps=args.steps)
     if not args.fp32_params:
         from distdiff_tpu.sampling.pipeline import cast_params_bf16
 
@@ -326,9 +333,12 @@ def main():
         "sdxl_guided": f"guided images/sec/chip (SDXL-base DDIM-50 "
                        f"{args.sdxl_size}^2, transform_guidance)",
     }[args.preset]
-    official = args.preset in ("sd15", "tiny") and args.scheduler == "ddim"
+    official = (args.preset in ("sd15", "tiny")
+                and args.scheduler == "ddim" and args.steps is None)
     if args.scheduler != "ddim":
         metric += f" [{args.scheduler}]"
+    if args.steps is not None:
+        metric += f" [steps={args.steps}]"
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 4),
