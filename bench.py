@@ -223,6 +223,10 @@ def main():
                    help="override the inference step plan for the "
                         "sd15/tiny/sd21 presets (e.g. --scheduler dpmpp "
                         "--steps 25; official metric stays DDIM-50)")
+    p.add_argument("--guide_chunk", type=int, default=None,
+                   help="override the guidance-backward chunk size "
+                        "(default: preset heuristic — sd15 chunks at 8 "
+                        "beyond batch 8; must divide the batch)")
     args = p.parse_args()
     if args.batch is None:
         args.batch = {"sdxl": 1, "sdxl_guided": 1, "sd21": 4}.get(
@@ -292,7 +296,9 @@ def main():
         # the denoise spans alone scale to larger batches. SD-1.5: chunk at
         # 8 beyond batch 8. SDXL guided: batch 2 misses HBM by only ~59MB
         # unchunked (15.81/15.75G), so chunk at 1 beyond batch 1.
-        if args.preset == "sdxl_guided":
+        if args.guide_chunk is not None:
+            chunk = args.guide_chunk if args.guide_chunk < args.batch else None
+        elif args.preset == "sdxl_guided":
             chunk = 1 if args.batch > 1 else None
         elif args.preset == "sd21":
             # 768^2 guidance rollout is ~2.25x the 512^2 activation
