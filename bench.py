@@ -31,7 +31,8 @@ import numpy as np
 
 
 def build(preset: str, batch: int, scheduler: str = "ddim",
-          steps: int = None):
+          steps: int = None, deep_cache: bool = False,
+          cache_interval: int = 3):
     import dataclasses
 
     from distdiff_tpu.config import GuidanceConfig, PipelineConfig
@@ -66,6 +67,9 @@ def build(preset: str, batch: int, scheduler: str = "ddim",
         # non-default step plans: the guidance window (guidance_step=20
         # from the END) clamps to the img2img start exactly like the CLI
         config = dataclasses.replace(config, num_inference_steps=steps)
+    if deep_cache:
+        config = dataclasses.replace(config, deep_cache=True,
+                                     cache_interval=cache_interval)
     rng = np.random.RandomState(0)
     gp = rng.randn(guide.num_classes, guide.feature_dim).astype(np.float32)
     lp = rng.randn(guide.num_classes, gcfg.K, guide.feature_dim).astype(np.float32)
@@ -227,6 +231,10 @@ def main():
                    help="override the guidance-backward chunk size "
                         "(default: preset heuristic — sd15 chunks at 8 "
                         "beyond batch 8; must divide the batch)")
+    p.add_argument("--deep_cache", action="store_true",
+                   help="DeepCache datapoint (approximate; NOT the "
+                        "official metric)")
+    p.add_argument("--cache_interval", type=int, default=3)
     args = p.parse_args()
     if args.batch is None:
         args.batch = {"sdxl": 1, "sdxl_guided": 1, "sd21": 4}.get(
@@ -283,7 +291,9 @@ def main():
         pipe, bench_args = build_sdxl_guided(args.batch, args.sdxl_size)
     else:
         pipe, bench_args = build(args.preset, args.batch,
-                                 scheduler=args.scheduler, steps=args.steps)
+                                 scheduler=args.scheduler, steps=args.steps,
+                                 deep_cache=args.deep_cache,
+                                 cache_interval=args.cache_interval)
     if not args.fp32_params:
         from distdiff_tpu.sampling.pipeline import cast_params_bf16
 
@@ -340,11 +350,14 @@ def main():
                        f"{args.sdxl_size}^2, transform_guidance)",
     }[args.preset]
     official = (args.preset in ("sd15", "tiny")
-                and args.scheduler == "ddim" and args.steps is None)
+                and args.scheduler == "ddim" and args.steps is None
+                and not args.deep_cache)
     if args.scheduler != "ddim":
         metric += f" [{args.scheduler}]"
     if args.steps is not None:
         metric += f" [steps={args.steps}]"
+    if args.deep_cache:
+        metric += f" [deepcache@{args.cache_interval}]"
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 4),

@@ -70,6 +70,15 @@ def parse_args(argv=None):
                         "DPM-Solver++(2M); the DistDiff guidance window "
                         "advances with the DDIM update either way and the "
                         "solver history resets at the splice)")
+    p.add_argument("--deep_cache", action="store_true",
+                   help="DeepCache-style deep-feature caching on the plain "
+                        "denoise spans (beyond-reference, approximate; "
+                        "guidance steps stay exact; DDIM-only)")
+    p.add_argument("--cache_interval", type=int, default=3,
+                   help="full UNet step every N steps under --deep_cache")
+    p.add_argument("--cache_branch", type=int, default=0,
+                   help="down level the cache cuts below (0 = shallowest "
+                        "= fastest)")
     p.add_argument("--K", type=int, default=3)
     p.add_argument("--guidance_step", type=int, default=20)
     p.add_argument("--guidance_period", type=int, default=2)
@@ -155,6 +164,10 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
         guide_input = 224
     if getattr(args, "scheduler", "ddim") != "ddim":
         config = dataclasses.replace(config, scheduler=args.scheduler)
+    if getattr(args, "deep_cache", False):
+        config = dataclasses.replace(
+            config, deep_cache=True, cache_interval=args.cache_interval,
+            cache_branch=args.cache_branch)
 
     params = None
     if args.params_path:

@@ -210,6 +210,13 @@ class PipelineConfig:
     # generate_data.py:863-864) or "dpmpp" (DPM-Solver++(2M),
     # beyond-reference — schedulers/dpm.py).
     scheduler: str = "ddim"
+    # DeepCache-style deep-feature caching (sampling/deepcache.py):
+    # opt-in approximate acceleration, never the parity default. A full
+    # UNet step every cache_interval steps; shallow cached steps (down
+    # levels <= cache_branch refreshed) in between. DDIM-only.
+    deep_cache: bool = False
+    cache_interval: int = 3
+    cache_branch: int = 0
 
     @property
     def vae_scale_factor(self) -> int:

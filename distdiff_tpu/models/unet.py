@@ -38,7 +38,32 @@ class UNet2DCondition(nn.Module):
         timestep: jnp.ndarray,          # [] or [B], int or float
         encoder_hidden_states: jnp.ndarray,  # [B, T_text, D_ctx]
         added_cond: jnp.ndarray = None,  # [B, addition_embed_dim] (SDXL)
+        deep_cache: jnp.ndarray = None,  # cached deep feature (see below)
+        return_cache: bool = False,      # also return this step's feature
+        cache_branch: int = 0,           # down level the cache cuts below
     ) -> jnp.ndarray:
+        """Denoiser forward; optionally a DeepCache-style partial forward.
+
+        The deep-feature cache (Ma et al. 2023 DeepCache / the "Cache Me if
+        You Can" block-caching family) exploits that a UNet's deep features
+        change slowly across adjacent denoise steps while the shallow
+        high-resolution layers carry the step-to-step detail:
+
+          * ``return_cache=True`` (full step): run everything and ALSO
+            return the feature entering up-group ``n_blocks-1-cache_branch``
+            (i.e. the output of the entire subnetwork below down level
+            ``cache_branch``).
+          * ``deep_cache=<that feature>`` (cached step): run ONLY the down
+            levels ``<= cache_branch`` (to refresh the shallow skips),
+            substitute the cached feature for the deep subnetwork, and run
+            the remaining up groups.
+
+        Both variants share parameter names, so one converted checkpoint
+        serves both; the default call (no cache args) traces the exact same
+        program as before. The cached loop lives in
+        ``sampling/deepcache.py``; this is OPT-IN approximate acceleration
+        (beyond-reference), never the default DDIM-50 parity path.
+        """
         cfg = self.config
         dtype = cfg.dtype
         timestep = jnp.atleast_1d(timestep)
@@ -75,26 +100,44 @@ class UNet2DCondition(nn.Module):
             )
 
         # ---- down path, collecting skip states (conv_in output included)
-        skips = [x]
         n_blocks = len(cfg.block_out_channels)
-        for bi, ch in enumerate(cfg.block_out_channels):
+        shallow = deep_cache is not None
+        if shallow or return_cache:
+            assert 0 <= cache_branch < n_blocks - 1, (cache_branch, n_blocks)
+        cache_ui = n_blocks - 1 - cache_branch  # up group the cache enters
+
+        skips = [x]
+        down_levels = range(cache_branch + 1) if shallow else range(n_blocks)
+        for bi in down_levels:
+            ch = cfg.block_out_channels[bi]
             for li in range(cfg.layers_per_block):
                 x = Res(ch, dtype=dtype, name=f"down_{bi}_res_{li}")(x, temb)
                 if cfg.cross_attention[bi] and cfg.depth_at(bi) > 0:
                     x = transformer(ch, bi, f"down_{bi}_attn_{li}")(x, context)
                 skips.append(x)
-            if bi < n_blocks - 1:
+            # the shallow path stops BEFORE cache_branch's downsample: its
+            # output skip belongs to the (cached) deeper subnetwork
+            if bi < n_blocks - 1 and not (shallow and bi == cache_branch):
                 x = Downsample(ch, dtype=dtype, name=f"down_{bi}_downsample")(x)
                 skips.append(x)
 
-        # ---- mid
-        mid_ch = cfg.block_out_channels[-1]
-        x = Res(mid_ch, dtype=dtype, name="mid_res_0")(x, temb)
-        x = transformer(mid_ch, len(cfg.block_out_channels) - 1, "mid_attn")(x, context)
-        x = Res(mid_ch, dtype=dtype, name="mid_res_1")(x, temb)
+        cache_out = None
+        if shallow:
+            x = deep_cache.astype(dtype)
+            up_groups = range(cache_ui, n_blocks)
+        else:
+            # ---- mid
+            mid_ch = cfg.block_out_channels[-1]
+            x = Res(mid_ch, dtype=dtype, name="mid_res_0")(x, temb)
+            x = transformer(mid_ch, n_blocks - 1, "mid_attn")(x, context)
+            x = Res(mid_ch, dtype=dtype, name="mid_res_1")(x, temb)
+            up_groups = range(n_blocks)
 
         # ---- up path (reversed blocks, layers_per_block+1 resnets each)
-        for ui, bi in enumerate(reversed(range(n_blocks))):
+        for ui in up_groups:
+            bi = n_blocks - 1 - ui
+            if return_cache and ui == cache_ui:
+                cache_out = x
             ch = cfg.block_out_channels[bi]
             for li in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
@@ -110,4 +153,7 @@ class UNet2DCondition(nn.Module):
         x = GroupNorm(dtype=dtype, act="silu", name="conv_norm_out")(x)
         x = SmallConv3x3(cfg.out_channels, dtype=dtype, out_dtype=jnp.float32,
                          name="conv_out")(x)  # Co=4: tap-einsum form
-        return x.astype(jnp.float32)
+        out = x.astype(jnp.float32)
+        if return_cache:
+            return out, cache_out
+        return out

@@ -157,6 +157,62 @@ class ExpansionPipeline:
             lambda p, x, t, ctx: unet_apply(p, x, t, ctx), self.sampler_cfg
         )
 
+    def cached_eps_fns(self):
+        """(eps_full, eps_shallow) for the DeepCache loop
+        (sampling/deepcache.py; config.deep_cache). The guidance rollout
+        never uses these — its gradient flows through the full denoiser."""
+        from distdiff_tpu.sampling.deepcache import make_cached_eps_fns
+
+        branch = self.config.cache_branch
+
+        def apply_full(params, x, t, ctx):
+            if isinstance(ctx, dict):
+                return self.unet.apply(
+                    {"params": params["unet"]}, x, t, ctx["ctx"], ctx["add"],
+                    return_cache=True, cache_branch=branch)
+            return self.unet.apply(
+                {"params": params["unet"]}, x, t, ctx,
+                return_cache=True, cache_branch=branch)
+
+        def apply_shallow(params, x, t, ctx, cache):
+            if isinstance(ctx, dict):
+                return self.unet.apply(
+                    {"params": params["unet"]}, x, t, ctx["ctx"], ctx["add"],
+                    deep_cache=cache, cache_branch=branch)
+            return self.unet.apply(
+                {"params": params["unet"]}, x, t, ctx,
+                deep_cache=cache, cache_branch=branch)
+
+        return make_cached_eps_fns(apply_full, apply_shallow,
+                                   self.sampler_cfg)
+
+    def _denoise_ranged(self, eps_fn) -> Callable:
+        """ranged(params, x, cond, uncond, lo, hi): the plain-denoise
+        primitive the expansion paths share — deep-feature-cached when
+        config.deep_cache (DDIM-only), otherwise denoise_range (which
+        itself dispatches DDIM vs DPM-Solver++)."""
+        sched = self.sched
+        if not getattr(self.config, "deep_cache", False):
+            def ranged(params, x, cond, uncond, lo, hi):
+                return denoise_range(sched, eps_fn, params, x, cond,
+                                     uncond, lo, hi)
+            return ranged
+
+        if isinstance(sched, DPMSchedule):
+            raise NotImplementedError(
+                "deep_cache composes with the DDIM solver only "
+                "(config.scheduler='ddim')")
+        from distdiff_tpu.sampling.deepcache import denoise_range_cached
+
+        eps_full, eps_shallow = self.cached_eps_fns()
+        interval = self.config.cache_interval
+
+        def ranged(params, x, cond, uncond, lo, hi):
+            return denoise_range_cached(
+                sched, eps_full, eps_shallow, params, x, cond, uncond,
+                lo, hi, interval)
+        return ranged
+
     def decode_latents(self, params, latents: jnp.ndarray) -> jnp.ndarray:
         """Latents -> images in [-1, 1] (fp32)."""
         z = latents.astype(jnp.float32) / self.config.vae.scaling_factor
@@ -322,6 +378,7 @@ class ExpansionPipeline:
             ctx = self.guidance_context()
 
         decode = self.decode_latents
+        ranged = self._denoise_ranged(eps_fn)
 
         def expand(params, image_latents, cond, uncond, targets, key):
             # key: single PRNG key, or per-sample [B] key array (the sharded
@@ -347,32 +404,22 @@ class ExpansionPipeline:
                     offset_noise=self.offset_noise,
                 )
             if not guided:
-                latents = denoise_range(
-                    sched, eps_fn, params, latents, cond, uncond, start, n
-                )
+                latents = ranged(params, latents, cond, uncond, start, n)
             elif gcfg.guidance_type == "transform_guidance":
                 # plain to the window, one affine-optimization at g0, then
                 # plain from g0 (the trigger step itself denoises normally
                 # after the update — generate_data.py:1202-1207).
-                latents = denoise_range(
-                    sched, eps_fn, params, latents, cond, uncond, start, g0
-                )
+                latents = ranged(params, latents, cond, uncond, start, g0)
                 latents, _score = transform_guidance(
                     ctx, params, latents, cond, uncond, targets, k_guide, g0
                 )
-                latents = denoise_range(
-                    sched, eps_fn, params, latents, cond, uncond, g0, n
-                )
+                latents = ranged(params, latents, cond, uncond, g0, n)
             else:  # direct_guidance advances [g0, g1) itself
-                latents = denoise_range(
-                    sched, eps_fn, params, latents, cond, uncond, start, g0
-                )
+                latents = ranged(params, latents, cond, uncond, start, g0)
                 latents, _score = direct_guidance(
                     ctx, params, latents, cond, uncond, targets, (g0, g1)
                 )
-                latents = denoise_range(
-                    sched, eps_fn, params, latents, cond, uncond, g1, n
-                )
+                latents = ranged(params, latents, cond, uncond, g1, n)
             img = decode(params, latents)
             # final postprocess denormalizes (generate_data.py:1228-1230)
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
@@ -493,20 +540,26 @@ class SplitExpand:
                                   offset_noise=pipe.offset_noise)
             return lat
 
-        def span_fn(params, x, cond, uncond, lo, hi):
-            if isinstance(sched, DPMSchedule):
-                # multistep solver: carry-based loop (handles traced bounds);
-                # x0 history resets per span, matching the guidance splice
-                return denoise_range_dpm(
-                    sched, eps_fn, params, x, cond, uncond, lo, hi)
+        if getattr(pipe.config, "deep_cache", False):
+            # cached spans: same ranged primitive as the fused path (cache
+            # cold per span; the guidance dispatch between spans stays exact)
+            span_fn = pipe._denoise_ranged(eps_fn)
+        else:
+            def span_fn(params, x, cond, uncond, lo, hi):
+                if isinstance(sched, DPMSchedule):
+                    # multistep solver: carry-based loop (handles traced
+                    # bounds); x0 history resets per span, matching the
+                    # guidance splice
+                    return denoise_range_dpm(
+                        sched, eps_fn, params, x, cond, uncond, lo, hi)
 
-            def body(i, xx):
-                t = sched.timesteps[i]
-                e = eps_fn(params, xx, t, cond, uncond)
-                xp, _ = ddim_step(sched, e, i, xx)
-                return xp
+                def body(i, xx):
+                    t = sched.timesteps[i]
+                    e = eps_fn(params, xx, t, cond, uncond)
+                    xp, _ = ddim_step(sched, e, i, xx)
+                    return xp
 
-            return jax.lax.fori_loop(lo, hi, body, x)
+                return jax.lax.fori_loop(lo, hi, body, x)
 
         def decode_fn(params, x):
             img = pipe.decode_latents(params, x)
