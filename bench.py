@@ -201,7 +201,7 @@ def main():
                    choices=["sd15", "tiny", "sd21", "sdxl", "sdxl_guided"],
                    default="sd15")
     p.add_argument("--batch", type=int, default=None,
-                   help="images per step (default 8 for sd15/tiny, 4 for "
+                   help="images per step (default 8 for sd15/tiny, 2 for "
                         "sd21 [768^2], 1 for the sdxl presets; sd15 "
                         "throughput scales 1.04/1.21/1.43 img/s/chip at "
                         "1/4/8 on v5e-1)")
@@ -231,13 +231,19 @@ def main():
                    help="override the guidance-backward chunk size "
                         "(default: preset heuristic — sd15 chunks at 8 "
                         "beyond batch 8; must divide the batch)")
+    p.add_argument("--decode_chunk", type=int, default=None,
+                   help="override the tail denoise+decode span chunk "
+                        "(default: sd21 chunks at 2 beyond batch 2 — the "
+                        "768^2 decode OOMs a v5e-1 at batch 4)")
     p.add_argument("--deep_cache", action="store_true",
                    help="DeepCache datapoint (approximate; NOT the "
                         "official metric)")
     p.add_argument("--cache_interval", type=int, default=3)
     args = p.parse_args()
     if args.batch is None:
-        args.batch = {"sdxl": 1, "sdxl_guided": 1, "sd21": 4}.get(
+        # sd21: batch 4 OOMs in the final 768^2 decode span on v5e-1
+        # (~= a 512^2 batch-9 activation footprint, just over HBM)
+        args.batch = {"sdxl": 1, "sdxl_guided": 1, "sd21": 2}.get(
             args.preset, 8)
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
@@ -316,7 +322,15 @@ def main():
             chunk = 4 if args.batch > 4 else None
         else:
             chunk = 8 if args.batch > 8 else None
-        expand = pipe.make_split_expand(guide_chunk=chunk)
+        if args.decode_chunk is not None:
+            dchunk = args.decode_chunk if args.decode_chunk < args.batch \
+                else None
+        elif args.preset == "sd21":
+            dchunk = 2 if args.batch > 2 else None
+        else:
+            dchunk = None
+        expand = pipe.make_split_expand(guide_chunk=chunk,
+                                        decode_chunk=dchunk)
 
     t0 = time.time()
     out = expand(*bench_args)

@@ -345,15 +345,19 @@ class ExpansionPipeline:
     def make_split_expand(
         self, text_to_img: bool = False, mesh=None,
         guide_chunk: Optional[int] = None,
+        decode_chunk: Optional[int] = None,
     ) -> "SplitExpand":
         """Expansion hot path as a few separately-compiled programs — much
         faster to compile than the fused ``make_expand_fn`` program (see
         SplitExpand docstring); prefer it on cold compile caches.
         ``guide_chunk`` bounds guidance-backward memory: host-side slicing
         on a single chip, or (with ``mesh``) an in-program scan over chunks
-        with each sub-batch sharded over the data axis."""
+        with each sub-batch sharded over the data axis.
+        ``decode_chunk`` bounds the tail denoise+decode span's activation
+        memory the same way (single-chip guided path; samples are
+        independent) — SD-2.1 768^2 needs it beyond batch 2 on a v5e-1."""
         return SplitExpand(self, text_to_img=text_to_img, mesh=mesh,
-                           guide_chunk=guide_chunk)
+                           guide_chunk=guide_chunk, decode_chunk=decode_chunk)
 
     # ---- the compiled hot path ----
     def make_expand_fn(self, text_to_img: bool = False) -> Callable:
@@ -497,13 +501,17 @@ class SplitExpand:
     """
 
     def __init__(self, pipe: "ExpansionPipeline", text_to_img: bool = False,
-                 mesh=None, guide_chunk: Optional[int] = None):
+                 mesh=None, guide_chunk: Optional[int] = None,
+                 decode_chunk: Optional[int] = None):
         """``guide_chunk``: run the guidance update on sub-batches of this
         size (exact — samples are independent in the per-sample energy
         formulation); bounds the guidance backward's HBM footprint so the
-        denoise spans can run larger batches."""
+        denoise spans can run larger batches. ``decode_chunk``: likewise
+        for the tail denoise+decode span (single-chip guided path only —
+        under a mesh, host slicing would cross shards)."""
         self.pipe = pipe
         self.guide_chunk = guide_chunk
+        self.decode_chunk = decode_chunk if mesh is None else None
         sched = pipe.sched
         eps_fn = pipe.eps_fn()
         gcfg = pipe.guidance_cfg
@@ -683,6 +691,17 @@ class SplitExpand:
             x = self.guide(params, x, cond, uncond, targets, keys)
         resume = self.g0 if self.gcfg.guidance_type == "transform_guidance" \
             else self.g1
+        if self.decode_chunk is not None and self.decode_chunk < b:
+            from distdiff_tpu.sampling.conditioning import cond_slice
+
+            assert b % self.decode_chunk == 0, (b, self.decode_chunk)
+            c = self.decode_chunk
+            return jnp.concatenate([
+                self.span_decode(params, x[i:i + c],
+                                 cond_slice(cond, i, i + c),
+                                 cond_slice(uncond, i, i + c), resume, self.n)
+                for i in range(0, b, c)
+            ], axis=0)
         return self.span_decode(params, x, cond, uncond, resume, self.n)
 
 

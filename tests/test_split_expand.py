@@ -47,6 +47,27 @@ def test_split_matches_fused(gtype):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_decode_chunk_matches_unchunked():
+    """decode_chunk slices the tail denoise+decode span per sub-batch —
+    samples are independent, so chunked == unchunked exactly (it is the
+    same compiled program applied to slices)."""
+    pipe = _pipe("transform_guidance")
+    params = pipe.full_params()
+    ls = pipe.config.latent_size
+    rng = np.random.RandomState(4)
+    lat = jnp.asarray(rng.randn(4, ls, ls, 4), jnp.float32) * 0.2
+    cond = jnp.asarray(rng.randn(4, 8, 32), jnp.float32)
+    uncond = jnp.asarray(rng.randn(4, 8, 32), jnp.float32)
+    targets = jnp.asarray([0, 2, 1, 0])
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(4)])
+
+    plain = pipe.make_split_expand()
+    chunked = pipe.make_split_expand(decode_chunk=2)
+    a = plain(params, lat, cond, uncond, targets, keys)
+    b = chunked(params, lat, cond, uncond, targets, keys)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
 def test_split_sharded_on_mesh():
     pipe = _pipe("transform_guidance")
     mesh = make_mesh()
