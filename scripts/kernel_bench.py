@@ -40,11 +40,15 @@ def device_time(fn, args, iters: int, perturb_index: int = 0):
     # block_until_ready does NOT reliably wait here, and the relay also
     # plays tricks with repeated dispatches.
     def make_run(n):
+        # ALL args are jit ARGUMENTS: closed-over device arrays bake into
+        # the HLO as constants, which (a) blows the remote compiler's
+        # request-size limit for big param pytrees (HTTP 413) and (b) lets
+        # XLA constant-fold weights — unrealistic for model-code timings.
         @jax.jit
-        def run(a0):
+        def run(a0, rest):
             def body(carry, _):
                 acc, a = carry
-                a2 = list(args)
+                a2 = list(rest)
                 a2[perturb_index] = a
                 out = fn(*a2)
                 # Fold the FULL output (every leaf, every column) back into
@@ -68,15 +72,15 @@ def device_time(fn, args, iters: int, perturb_index: int = 0):
     a0 = args[perturb_index]
     n1, n2 = max(2, iters // 5), iters
     run1, run2 = make_run(n1), make_run(n2)
-    float(run1(a0)); float(run2(a0))  # compile both
-    t1 = min(_timed(run1, a0) for _ in range(2))
-    t2 = min(_timed(run2, a0) for _ in range(2))
+    float(run1(a0, args)); float(run2(a0, args))  # compile both
+    t1 = min(_timed(run1, a0, args) for _ in range(2))
+    t2 = min(_timed(run2, a0, args) for _ in range(2))
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
-def _timed(run, a0):
+def _timed(run, a0, args):
     t0 = time.time()
-    float(run(a0))
+    float(run(a0, args))
     return time.time() - t0
 
 

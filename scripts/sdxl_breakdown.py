@@ -28,8 +28,8 @@ from scripts.kernel_bench import device_time
 PEAK = 197.0
 
 
-def t(fn, args, iters, name, flops=None, count=1):
-    dt = device_time(fn, args, iters)
+def t(fn, args, iters, name, flops=None, count=1, perturb_index=0):
+    dt = device_time(fn, args, iters, perturb_index=perturb_index)
     extra = f" ({flops / dt / 1e12:6.1f} TF/s, {flops/dt/1e12/PEAK*100:3.0f}%)" if flops else ""
     tot = f"  x{count} = {dt * count * 1e3:7.2f} ms" if count > 1 else ""
     print(f"{name:<44s} {dt * 1e3:8.3f} ms{extra}{tot}", flush=True)
@@ -71,25 +71,36 @@ def main():
         rb = ResnetBlock(c, dtype=jnp.bfloat16)
         rp = rb.init(jax.random.PRNGKey(0), x, temb)
         rflops = 2 * b * hw * hw * 9 * c * c * 2
-        total += t(lambda xx, tt: rb.apply(rp, xx, tt), [x, temb], it,
-                   f"resblock {hw}^2x{c}", flops=rflops, count=n_same)
+        total += t(rb.apply, [rp, x, temb], it,
+                   f"resblock {hw}^2x{c}", flops=rflops, count=n_same,
+                   perturb_index=1)
         xw = jnp.asarray(rng.randn(b, hw, hw, 2 * c), jnp.bfloat16)
         rbw = ResnetBlock(c, dtype=jnp.bfloat16)
         rpw = rbw.init(jax.random.PRNGKey(0), xw, temb)
         wflops = (2 * b * hw * hw * 9 * (2 * c * c + c * c)
                   + 2 * b * hw * hw * 2 * c * c)
-        total += t(lambda xx, tt: rbw.apply(rpw, xx, tt), [xw, temb], it,
-                   f"resblock {hw}^2 {2*c}->{c}", flops=wflops, count=n_wide)
+        total += t(rbw.apply, [rpw, xw, temb], it,
+                   f"resblock {hw}^2 {2*c}->{c}", flops=wflops, count=n_wide,
+                   perturb_index=1)
 
-    # ---- whole transformer modules (attention + FFN + projections)
+    # ---- whole transformer modules (attention + FFN + projections).
+    # The real 32^2 modules are depth 10, but a standalone depth-10 trace
+    # breaks the remote compile service — time depth 2 and scale x5 (block
+    # costs are uniform; only proj_in/out amortization is approximated).
     ctx = jnp.asarray(rng.randn(b, 77, 2048), jnp.bfloat16)
-    for hw, c, heads, depth, n in [(64, 640, 10, 2, 5), (32, 1280, 20, 10, 6)]:
+    for hw, c, heads, depth, n, scale in [(64, 640, 10, 2, 5, 1),
+                                          (32, 1280, 20, 2, 6, 5)]:
         x = jnp.asarray(rng.randn(b, hw, hw, c), jnp.bfloat16)
         st = SpatialTransformer(num_heads=heads, head_dim=64, depth=depth,
                                 dtype=jnp.bfloat16)
+        # params as a runtime ARG — closed-over params bake into the HLO as
+        # constants and the c1280 module blows the remote compiler's
+        # request-size limit (HTTP 413)
         sp = st.init(jax.random.PRNGKey(0), x, ctx)
-        total += t(lambda xx: st.apply(sp, xx, ctx), [x], it,
-                   f"transformer {hw}^2x{c} depth{depth}", count=n)
+        label = f"transformer {hw}^2x{c} depth{depth}" + (
+            f" (x{scale} ~ depth{depth * scale})" if scale > 1 else "")
+        total += t(lambda pp, xx: st.apply(pp, xx, ctx), [sp, x], it,
+                   label, count=n * scale, perturb_index=1)
 
     print(f"resnet+transformer subtotal: {total*1e3:8.2f} ms "
           f"(gap vs the per-step time = conv_in/out, up/down-sample, "
