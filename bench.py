@@ -265,7 +265,7 @@ def main():
         sample, sargs = build_sdxl(args.batch, args.sdxl_size)
         t0 = time.time()
         out = sample(*sargs)
-        out.block_until_ready()
+        float(jnp.sum(out))  # host VALUE fetch (see guided loop note)
         print(f"compile+first-run: {time.time() - t0:.1f}s", file=sys.stderr)
         # t2i draws its initial noise from the PRNG key (the latents arg is
         # shape-only), so vary the KEY per iteration — the remote tunnel may
@@ -277,7 +277,7 @@ def main():
             key_i.block_until_ready()
             t0 = time.time()
             out = sample(*head, key_i)
-            out.block_until_ready()
+            float(jnp.sum(out))
             times.append(time.time() - t0)
         dt = min(times)
         ips = args.batch / dt
@@ -334,12 +334,16 @@ def main():
 
     t0 = time.time()
     out = expand(*bench_args)
-    out.block_until_ready()
+    float(jnp.sum(out))  # host VALUE fetch — see timing loop below
     compile_s = time.time() - t0
     print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
     # Distinct latents per iteration: the serving tunnel caches executions
     # with identical argument values, which would fake the repeat timings.
+    # Each iteration ends with a host fetch of a reduction over the FULL
+    # output: block_until_ready does not reliably wait on this tunnel
+    # (multi-dispatch chunked paths returned in ~0.02s), but a value
+    # transfer cannot complete before every producing dispatch has run.
     params_, lat0, cond_, uncond_, targets_, keys_ = bench_args
     times = []
     for i in range(args.iters):
@@ -347,7 +351,7 @@ def main():
         lat_i.block_until_ready()
         t0 = time.time()
         out = expand(params_, lat_i, cond_, uncond_, targets_, keys_)
-        out.block_until_ready()
+        float(jnp.sum(out))
         times.append(time.time() - t0)
     dt = min(times)
     n_dev = 1  # bench runs the whole batch on one chip

@@ -25,10 +25,14 @@ def main():
     p.add_argument("--batch", type=int, default=16,
                    help="CFG batch (bench default batch 8 -> CFG-16)")
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--t", type=int, default=4096, help="sequence length")
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--d", type=int, default=40,
+                   help="head dim (SD-1.5 64^2: 40; SDXL: 64)")
     args = p.parse_args()
 
     rng = np.random.RandomState(0)
-    b, t, h, d = args.batch, 4096, 8, 40
+    b, t, h, d = args.batch, args.t, args.heads, args.d
     q = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
     k = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
     v = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
