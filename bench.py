@@ -243,7 +243,9 @@ def main():
     if args.batch is None:
         # sd21: batch 4 OOMs in the final 768^2 decode span on v5e-1
         # (~= a 512^2 batch-9 activation footprint, just over HBM)
-        args.batch = {"sdxl": 1, "sdxl_guided": 1, "sd21": 2}.get(
+        # sdxl t2i: batch 2 measured 0.191 vs batch 1's 0.181 img/s/chip
+        # on v5e-1 (amortizes per-step dispatch overhead).
+        args.batch = {"sdxl": 2, "sdxl_guided": 1, "sd21": 2}.get(
             args.preset, 8)
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
