@@ -408,12 +408,16 @@ _FUSED_BWD = os.environ.get("DISTDIFF_FLASH_FUSED_BWD", "1") == "1"
 
 
 def _flash_bwd_fused_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len,
-                        block_q, block_k):
+                        block_q, block_k, delta_sub=None):
     bh, tqp, dp = q.shape
     tkp = k.shape[1]
     delta = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )
+    if delta_sub is not None:
+        # lse-cotangent: d lse/d s = p, so a g_lse term folds into the
+        # kernel's ds = p*(do.v - delta) as delta -> delta - g_lse.
+        delta = delta - delta_sub
     delta = jnp.broadcast_to(delta, (bh, tqp, STAT_LANES))
     # dq accumulates through an aliased fp32 buffer (fp32: nk partial sums)
     dq0 = jnp.zeros((bh, tqp, dp), jnp.float32)
@@ -450,7 +454,8 @@ def _flash_bwd_fused_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len,
     return dq.astype(q.dtype), dk, dv
 
 
-def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k):
+def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q,
+                  block_k, delta_sub=None):
     # The fused kernel holds q/do/dq blocks + k/v blocks + dk/dv out blocks
     # + two [bk, dp] f32 scratch accumulators at once; at dp=512 (the VAE's
     # single 512-wide head) with the dp-shrunk bq=256/bk=1024 that is ~17.3M
@@ -461,20 +466,23 @@ def _flash_bwd_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k
     if _FUSED_BWD and q.shape[-1] <= 128:
         return _flash_bwd_fused_3d(
             q, k, v, o, lse, do, scale=scale, kv_len=kv_len, q_len=q_len,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, delta_sub=delta_sub,
         )
     return _flash_bwd_split_3d(
         q, k, v, o, lse, do, scale=scale, kv_len=kv_len, q_len=q_len,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, delta_sub=delta_sub,
     )
 
 
-def _flash_bwd_split_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q, block_k):
+def _flash_bwd_split_3d(q, k, v, o, lse, do, *, scale, kv_len, q_len, block_q,
+                        block_k, delta_sub=None):
     bh, tqp, dp = q.shape
     tkp = k.shape[1]
     delta = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )
+    if delta_sub is not None:
+        delta = delta - delta_sub
     delta = jnp.broadcast_to(delta, (bh, tqp, STAT_LANES))
 
     dq = _pallas_call(
@@ -667,3 +675,70 @@ def _flash_bwd_rule_hm(res, g):
 
 
 flash_attention_hm.defvjp(_flash_fwd_rule_hm, _flash_bwd_rule_hm)
+
+
+# ----------------------------------------------- lse-returning public op
+#
+# Ring (sequence-parallel) attention composes per-shard partial results with
+# a logsumexp merge, so the cross-shard combine needs each shard's lse AND a
+# backward that propagates the lse cotangent (the softmax normalization is
+# global across shards). Returning lse from the kernel is free — the forward
+# already writes it for the backward. The lse cotangent folds into the
+# existing backward kernels exactly (see delta_sub above): no new kernel.
+
+def flash_attention_lse(q, k, v):
+    """Flash attention that also returns the row logsumexp.
+
+    ``q [B,Tq,H,D], k/v [B,Tk,H,D] -> (out [B,Tq,H,D], lse [B,Tq,H] f32)``
+    with ``lse = logsumexp_k(q.k * 1/sqrt(D))``. Differentiable in both
+    outputs (``jax.custom_vjp``); the building block of
+    ``parallel.sp.ring_attention``.
+    """
+    return _flash_attention_lse(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _flash_attention_lse(q, k, v):
+    (out, lse2), _ = _flash_fwd_rule_lse(q, k, v)
+    return out, lse2
+
+
+def _lse_to_2d(lse3, meta):
+    b, h, tq, tk, d = meta
+    return jnp.transpose(lse3[:, :tq, 0].reshape(b, h, tq), (0, 2, 1))
+
+
+def _flash_fwd_rule_lse(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    q3, k3, v3, bq, bk, meta = _prep(q, k, v)
+    o3, lse = _flash_fwd_3d(q3, k3, v3, scale=scale, kv_len=meta[3],
+                            block_q=bq, block_k=bk)
+    out = (_unprep(o3, meta), _lse_to_2d(lse, meta))
+    return out, (q3, k3, v3, o3, lse, meta, bq, bk)
+
+
+def _flash_bwd_rule_lse(res, g):
+    q3, k3, v3, o3, lse, meta, bq, bk = res
+    g_out, g_lse = g
+    b, h, tq, tk, d = meta
+    scale = 1.0 / math.sqrt(d)
+    dp = q3.shape[-1]
+    tqp = q3.shape[1]
+    g3 = jnp.transpose(g_out, (0, 2, 1, 3)).reshape(b * h, tq, d)
+    g3 = jnp.pad(g3, ((0, 0), (0, tqp - tq), (0, dp - d)))
+    # [B,Tq,H] -> [BH, Tqp, 1]; zero rows in the sequence padding keep the
+    # padded-row ds at exactly the g_lse=0 behavior.
+    gl = jnp.transpose(g_lse.astype(jnp.float32), (0, 2, 1)).reshape(b * h, tq)
+    gl = jnp.pad(gl, ((0, 0), (0, tqp - tq)))[..., None]
+    bq, bk = _bwd_blocks(bq, bk)
+    dq3, dk3, dv3 = _flash_bwd_3d(
+        q3, k3, v3, o3, lse, g3, scale=scale, kv_len=tk, q_len=tq,
+        block_q=bq, block_k=bk, delta_sub=gl,
+    )
+    dq = _unprep(dq3, meta)
+    dk = _unprep(dk3, (b, h, tk, tk, d))
+    dv = _unprep(dv3, (b, h, tk, tk, d))
+    return dq, dk, dv
+
+
+_flash_attention_lse.defvjp(_flash_fwd_rule_lse, _flash_bwd_rule_lse)
