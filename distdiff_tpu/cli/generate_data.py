@@ -120,6 +120,11 @@ def parse_args(argv=None):
     p.add_argument("--fused_program", action="store_true",
                    help="compile the whole trajectory as ONE program "
                         "(fastest steady-state, much slower first compile)")
+    p.add_argument("--lora", type=str, default=None,
+                   help="LoRA adapter .npz (cli.train_lora output) merged "
+                        "into the UNet weights before sampling")
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="override the alpha stored in the --lora file")
     p.add_argument("--save_params", type=str, default=None,
                    help="after loading/converting SD weights, save the "
                         "parameter tree here (orbax) for fast reuse via "
@@ -203,7 +208,7 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
         optimize_targets=tuple(args.optimize_targets.split("-")),
         guide_input_size=guide_input,
     )
-    return ExpansionPipeline.create(
+    pipe = ExpansionPipeline.create(
         config,
         sampler_cfg=SamplerConfig(
             guidance_scale=args.guidance_scale,
@@ -218,6 +223,18 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
         offset_noise=args.offset_noise,
         seed=args.seed,
     )
+    if getattr(args, "lora", None):
+        # bake the adapter into the UNet weights once, before tracing —
+        # zero sampling-time overhead (train/lora.py)
+        from distdiff_tpu.train.lora import load_lora, merge_lora
+
+        lora, alpha = load_lora(args.lora)
+        if getattr(args, "lora_alpha", None) is not None:
+            alpha = args.lora_alpha
+        pipe.params["unet"] = merge_lora(pipe.params["unet"], lora, alpha)
+        log.info("merged LoRA adapter %s (alpha=%g, %d leaves)",
+                 args.lora, alpha, len(lora))
+    return pipe
 
 
 def prepare_guide_and_prototypes(args, pipe, sd):

@@ -163,3 +163,31 @@ def test_cli_generate_data_tiny(toy_root, tmp_path, monkeypatch):
     if sample and os.path.exists(sample):
         img = np.asarray(Image.open(sample))
         assert img.shape == (32, 32, 3)
+
+
+def test_cli_train_lora_then_generate_with_adapter(toy_root, tmp_path,
+                                                   monkeypatch):
+    """LoRA loop end-to-end: train adapters on the toy dataset's latent
+    cache (cli.train_lora), then expand with --lora merging them into the
+    UNet (beyond-reference surface; train/lora.py)."""
+    from distdiff_tpu.cli import generate_data as cli_gen
+    from distdiff_tpu.cli import train_lora as cli_lora
+
+    monkeypatch.chdir(tmp_path)
+    lora_dir = str(tmp_path / "lora_run")
+    lora_file = cli_lora.main([
+        "--dataset", "breastmnist", "--data_root", toy_root, "--tiny",
+        "--output_dir", lora_dir, "--steps", "4", "--batch", "4",
+        "--rank", "2", "--resolution", "32", "--log_every", "2",
+    ])
+    assert os.path.exists(lora_file)
+
+    out = str(tmp_path / "out_lora")
+    stats = cli_gen.main([
+        "-d", "breastmnist", "--data_root", toy_root, "--tiny",
+        "--guidance_type", "none", "--num_images_per_prompt", "1",
+        "--train_batch_size", "1", "--max_units", "2",
+        "--output_dir", out, "--seed", "0", "--resolution", "32",
+        "--lora", lora_file,
+    ])
+    assert stats["written"] > 0
