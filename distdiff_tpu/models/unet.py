@@ -41,6 +41,8 @@ class UNet2DCondition(nn.Module):
         deep_cache: jnp.ndarray = None,  # cached deep feature (see below)
         return_cache: bool = False,      # also return this step's feature
         cache_branch: int = 0,           # down level the cache cuts below
+        segment: tuple = None,           # (unit_start, unit_end) PP slice
+        skips: tuple = (),               # carried skip states (PP segments)
     ) -> jnp.ndarray:
         """Denoiser forward; optionally a DeepCache-style partial forward.
 
@@ -63,9 +65,39 @@ class UNet2DCondition(nn.Module):
         program as before. The cached loop lives in
         ``sampling/deepcache.py``; this is OPT-IN approximate acceleration
         (beyond-reference), never the default DDIM-50 parity path.
+
+        ``segment=(a, b)`` runs only pipeline units ``a <= u < b`` of the
+        linear unit list (pipeline parallelism, ``parallel/pp.py``):
+
+          unit 0             conv_in
+          units 1..N         down level ``bi = u-1`` (resnets/attn + down)
+          unit N+1           mid
+          units N+2..2N+1    up group ``ui = u-N-2``
+          unit 2N+2          conv_norm_out + conv_out
+
+        (N = len(block_out_channels); 2N+3 units total.) A non-final
+        segment takes the carried hidden state as ``sample`` plus the
+        ``skips`` tuple produced so far and returns ``(x, skips)``; the
+        final segment returns the normal eps output. Parameter names are
+        position-independent, so each stage's params are a plain subtree of
+        the full tree (``parallel.pp.split_unet_params``). Mutually
+        exclusive with the deep-cache arguments.
         """
         cfg = self.config
         dtype = cfg.dtype
+        n_units = 2 * len(cfg.block_out_channels) + 3
+        if segment is not None:
+            assert deep_cache is None and not return_cache, (
+                "segment (pipeline parallelism) and deep_cache are "
+                "mutually exclusive")
+            seg_a, seg_b = segment
+            assert 0 <= seg_a < seg_b <= n_units, (segment, n_units)
+        else:
+            seg_a, seg_b = 0, n_units
+
+        def runs(u):
+            return seg_a <= u < seg_b
+
         timestep = jnp.atleast_1d(timestep)
         if timestep.shape[0] == 1 and sample.shape[0] > 1:
             timestep = jnp.broadcast_to(timestep, (sample.shape[0],))
@@ -83,8 +115,9 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(dtype)
         x = sample.astype(dtype)
 
-        x = SmallConv3x3(cfg.block_out_channels[0], dtype=dtype,
-                         name="conv_in")(x)  # Ci=4: lane-filling im2col form
+        if runs(0):
+            x = SmallConv3x3(cfg.block_out_channels[0], dtype=dtype,
+                             name="conv_in")(x)  # Ci=4: lane-filling im2col
 
         Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         ST = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
@@ -106,9 +139,11 @@ class UNet2DCondition(nn.Module):
             assert 0 <= cache_branch < n_blocks - 1, (cache_branch, n_blocks)
         cache_ui = n_blocks - 1 - cache_branch  # up group the cache enters
 
-        skips = [x]
+        skips = [x] if runs(0) else list(skips)
         down_levels = range(cache_branch + 1) if shallow else range(n_blocks)
         for bi in down_levels:
+            if not runs(1 + bi):
+                continue
             ch = cfg.block_out_channels[bi]
             for li in range(cfg.layers_per_block):
                 x = Res(ch, dtype=dtype, name=f"down_{bi}_res_{li}")(x, temb)
@@ -127,14 +162,17 @@ class UNet2DCondition(nn.Module):
             up_groups = range(cache_ui, n_blocks)
         else:
             # ---- mid
-            mid_ch = cfg.block_out_channels[-1]
-            x = Res(mid_ch, dtype=dtype, name="mid_res_0")(x, temb)
-            x = transformer(mid_ch, n_blocks - 1, "mid_attn")(x, context)
-            x = Res(mid_ch, dtype=dtype, name="mid_res_1")(x, temb)
+            if runs(n_blocks + 1):
+                mid_ch = cfg.block_out_channels[-1]
+                x = Res(mid_ch, dtype=dtype, name="mid_res_0")(x, temb)
+                x = transformer(mid_ch, n_blocks - 1, "mid_attn")(x, context)
+                x = Res(mid_ch, dtype=dtype, name="mid_res_1")(x, temb)
             up_groups = range(n_blocks)
 
         # ---- up path (reversed blocks, layers_per_block+1 resnets each)
         for ui in up_groups:
+            if not runs(n_blocks + 2 + ui):
+                continue
             bi = n_blocks - 1 - ui
             if return_cache and ui == cache_ui:
                 cache_out = x
@@ -147,6 +185,11 @@ class UNet2DCondition(nn.Module):
                     x = transformer(ch, bi, f"up_{ui}_attn_{li}")(x, context)
             if bi > 0:
                 x = Upsample(ch, dtype=dtype, name=f"up_{ui}_upsample")(x)
+
+        if segment is not None and seg_b < n_units:
+            # non-final pipeline segment: hand (hidden, skips) to the next
+            # stage; dtype stays the compute dtype across the wire
+            return x, tuple(skips)
 
         assert not skips, f"unconsumed skip states: {len(skips)}"
 

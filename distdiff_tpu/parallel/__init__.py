@@ -12,6 +12,11 @@ from distdiff_tpu.parallel.mesh import (
     make_mesh,
     replicated,
 )
+from distdiff_tpu.parallel.pp import (
+    PipelinedUNet,
+    plan_boundaries,
+    split_unet_params,
+)
 
 __all__ = [
     "ExpansionDriver",
@@ -25,4 +30,7 @@ __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated",
+    "PipelinedUNet",
+    "plan_boundaries",
+    "split_unet_params",
 ]

@@ -1,0 +1,120 @@
+"""Pipeline-parallel UNet (parallel/pp.py) on the 8-device CPU mesh:
+stage-partitioned forward must (a) place each stage's params on disjoint
+device groups, (b) match the single-program forward exactly, (c) balance
+stages by parameter bytes, (d) survive microbatched dispatch, and (e) the
+segment slicing in models/unet.py must chain back to the full forward."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from distdiff_tpu.config import UNetConfig
+from distdiff_tpu.models import UNet2DCondition
+from distdiff_tpu.parallel.pp import (
+    PipelinedUNet,
+    n_units,
+    plan_boundaries,
+    split_unet_params,
+    unit_of_param,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8, 8, 4), jnp.float32)
+    ctx = jnp.asarray(rng.randn(4, 6, cfg.cross_attention_dim), jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, jnp.array([1]), ctx)
+    ref = jax.jit(
+        lambda p, xx, cc: unet.apply(p, xx, jnp.array([3]), cc)
+    )(params, x, ctx)
+    return unet, params, x, ctx, np.asarray(ref)
+
+
+def test_unit_map_covers_every_param(tiny_unet):
+    unet, params, *_ = tiny_unet
+    nb = len(unet.config.block_out_channels)
+    for name in params["params"]:
+        u = unit_of_param(name, nb)
+        assert u is None or 0 <= u < n_units(nb), (name, u)
+
+
+def test_segment_chain_matches_full(tiny_unet):
+    """Running all units as 3 consecutive segments == one full forward."""
+    unet, params, x, ctx, ref = tiny_unet
+    nb = len(unet.config.block_out_channels)
+    nu = n_units(nb)
+    cuts = [0, nu // 3, 2 * nu // 3, nu]
+    h, skips = x, ()
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        out = jax.jit(
+            lambda p, hh, ss: unet.apply(
+                p, hh, jnp.array([3]), ctx, segment=(a, b), skips=ss)
+        )(params, h, skips)
+        if b == nu:
+            np.testing.assert_allclose(np.asarray(out), ref,
+                                       rtol=1e-5, atol=1e-5)
+            return
+        h, skips = out
+    raise AssertionError("never reached the final segment")
+
+
+def test_boundaries_balanced_and_contiguous(tiny_unet):
+    unet, params, *_ = tiny_unet
+    nb = len(unet.config.block_out_channels)
+    for s in (2, 3, 4):
+        bounds = plan_boundaries(params, nb, s)
+        assert bounds[0][0] == 0 and bounds[-1][1] == n_units(nb)
+        for (a0, b0), (a1, b1) in zip(bounds[:-1], bounds[1:]):
+            assert b0 == a1  # contiguous, no gaps
+    # every non-shared param lands in exactly one stage subtree
+    stages = split_unet_params(params, plan_boundaries(params, nb, 2), nb)
+    names = [set(s["params"].keys()) for s in stages]
+    shared = names[0] & names[1]
+    assert shared <= {"time_embedding", "add_embedding"}
+    assert names[0] | names[1] == set(params["params"].keys())
+
+
+def test_pp_forward_matches_single_program(tiny_unet):
+    unet, params, x, ctx, ref = tiny_unet
+    for n_stages in (2, 4):
+        pp = PipelinedUNet(unet, params, n_stages=n_stages)
+        out = pp(x, 3, ctx)
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pp_places_stages_on_disjoint_devices(tiny_unet):
+    unet, params, *_ = tiny_unet
+    pp = PipelinedUNet(unet, params, n_stages=4)
+    devsets = []
+    for sp in pp.stage_params:
+        leaves = jax.tree_util.tree_leaves(sp)
+        ds = set()
+        for leaf in leaves:
+            ds |= set(leaf.sharding.device_set)
+        devsets.append(ds)
+    for i in range(len(devsets)):
+        for j in range(i + 1, len(devsets)):
+            assert not (devsets[i] & devsets[j]), (i, j)
+
+
+def test_pp_microbatched_matches(tiny_unet):
+    unet, params, x, ctx, ref = tiny_unet
+    pp = PipelinedUNet(unet, params, n_stages=2)
+    out = pp.microbatched(x, 3, ctx, n_micro=2)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pp_dp_composition(tiny_unet):
+    """PP x DP: 2 stages x 4-device data groups, batch sharded in-group."""
+    unet, params, x, ctx, ref = tiny_unet
+    pp = PipelinedUNet(unet, params, n_stages=2,
+                       devices=jax.devices()[:8])
+    assert all(len(m.devices.ravel()) == 4 for m in pp.meshes)
+    out = pp(x, 3, ctx)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
