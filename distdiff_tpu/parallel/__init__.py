@@ -6,6 +6,11 @@ from distdiff_tpu.parallel.manifest import (
     output_path,
     split_range,
 )
+from distdiff_tpu.parallel.fsdp import (
+    fsdp_sharding,
+    make_fsdp_train_step,
+    shard_state,
+)
 from distdiff_tpu.parallel.mesh import (
     DATA_AXIS,
     data_sharding,
@@ -27,6 +32,9 @@ __all__ = [
     "output_path",
     "split_range",
     "DATA_AXIS",
+    "fsdp_sharding",
+    "make_fsdp_train_step",
+    "shard_state",
     "make_mesh",
     "data_sharding",
     "replicated",

@@ -1,0 +1,103 @@
+"""FSDP / ZeRO-3-style parameter sharding for training (GSPMD-native).
+
+The reference trains with replicated parameters and all-reduced gradients
+(``nn.DataParallel``, ``/root/reference/train.py:145``) — fine for a
+ResNet-50 classifier, but full-model fine-tuning (``train/lora.py``'s
+denoising objective on the 860M-param UNet) replicates ~3.4G of fp32
+params + momentum per chip before activations.
+
+The TPU-idiomatic upgrade is *sharding annotations*, not a new runtime:
+shard every large parameter leaf — and, because the sharding rule is a
+pure function of leaf shape, every matching optimizer-state leaf — across
+the ``data`` mesh axis, and let GSPMD insert the all-gathers at use sites
+and reduce-scatter the gradients. Per-chip parameter + optimizer memory
+drops ~linearly in mesh size; the batch stays sharded over the same axis
+(classic "ZeRO-3 via GSPMD": the collectives ride ICI, there is no
+host-side shard bookkeeping at all).
+
+Usage::
+
+    step, state = make_fsdp_train_step(module, tx, state, mesh=mesh)
+    state, metrics = step(state, images, targets, mask)
+
+``fsdp_sharding`` is also used directly by ``__graft_entry__``'s dryrun
+segment and works on any pytree (params, optax states, TrainState).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from distdiff_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+# Leaves below this size are replicated: sharding a [64] bias buys nothing
+# and costs an all-gather launch. 2**14 elements = 64KiB of fp32 — about
+# the point where one v5e ICI hop beats the HBM it saves.
+MIN_SHARD_ELEMS = 2 ** 14
+
+
+def _leaf_spec(shape, n: int, axis: str, min_elems: int) -> P:
+    size = int(np.prod(shape)) if shape else 0
+    if len(shape) == 0 or size < min_elems:
+        return P()
+    # Shard the LARGEST divisible dim: it minimizes padding waste and, for
+    # the common [..., Cin, Cout] kernels, lands on the output-features dim
+    # so the all-gathered operand matches the matmul's natural layout.
+    order = sorted(range(len(shape)), key=lambda i: shape[i], reverse=True)
+    for i in order:
+        if shape[i] % n == 0:
+            parts: list = [None] * len(shape)
+            parts[i] = axis
+            return P(*parts)
+    return P()  # nothing divides the mesh — replicate (rare: odd dims)
+
+
+def fsdp_sharding(
+    tree: Any,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    min_shard_elems: int = MIN_SHARD_ELEMS,
+):
+    """NamedSharding pytree: each leaf's largest ``n``-divisible dim sharded.
+
+    Shape-driven, so the SAME function shards params, their gradients, and
+    any optax state whose leaves mirror param shapes (momentum, adam
+    moments); scalars/counters and small vectors (biases, GroupNorm scales,
+    batch_stats) come out replicated.
+    """
+    n = mesh.shape[axis]
+
+    def spec(leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        return NamedSharding(mesh, _leaf_spec(shape, n, axis, min_shard_elems))
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_state(state: Any, mesh: Mesh, axis: str = DATA_AXIS):
+    """device_put a TrainState (or any pytree) into its FSDP layout."""
+    return jax.device_put(state, fsdp_sharding(state, mesh, axis=axis))
+
+
+def make_fsdp_train_step(module, tx, state, mesh=None,
+                         min_shard_elems: int = MIN_SHARD_ELEMS,
+                         **step_kwargs):
+    """FSDP variant of ``train.classifier.make_train_step``.
+
+    Returns ``(step, sharded_state)``: the same jitted
+    ``step(state, images, targets, mask) -> (state, metrics)`` contract,
+    but with parameters AND optimizer state sharded across the data axis
+    (gradients reduce-scatter instead of all-reduce; params all-gather at
+    use). ``state`` is placed into the sharded layout before return.
+    """
+    from distdiff_tpu.train.classifier import make_train_step
+
+    mesh = mesh if mesh is not None else make_mesh()
+    shardings = fsdp_sharding(state, mesh, min_shard_elems=min_shard_elems)
+    step = make_train_step(module, tx, mesh=mesh,
+                           state_shardings=shardings, **step_kwargs)
+    return step, jax.device_put(state, shardings)

@@ -91,15 +91,22 @@ def make_train_step(
     mesh=None,
     label_smoothing: float = 0.0,
     loss_fn: Optional[Callable] = None,
+    state_shardings=None,
 ):
     """Returns jitted step(state, images, targets, mask) -> (state, metrics).
 
     ``loss_fn(logits, targets, mask) -> scalar`` overrides cross-entropy
     (used by the cutmix/augmix/mixup trainer variants).
+
+    ``state_shardings`` (a NamedSharding pytree matching TrainState, e.g.
+    from ``parallel.fsdp.fsdp_sharding``) switches the step from replicated
+    params + all-reduced grads to FSDP: params enter/leave sharded, GSPMD
+    all-gathers them at use and reduce-scatters the gradients.
     """
     mesh = mesh if mesh is not None else make_mesh()
     shard = data_sharding(mesh)
     repl = replicated(mesh)
+    state_io = state_shardings if state_shardings is not None else repl
     _loss = loss_fn or (
         lambda lg, tg, mk: cross_entropy(lg, tg, mk, label_smoothing)
     )
@@ -132,8 +139,8 @@ def make_train_step(
 
     return jax.jit(
         step,
-        in_shardings=(repl, shard, shard, shard),
-        out_shardings=(repl, repl),
+        in_shardings=(state_io, shard, shard, shard),
+        out_shardings=(state_io, repl),
         donate_argnums=(0,),
     )
 
