@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -78,9 +79,32 @@ def fsdp_sharding(
     return jax.tree_util.tree_map(spec, tree)
 
 
-def shard_state(state: Any, mesh: Mesh, axis: str = DATA_AXIS):
-    """device_put a TrainState (or any pytree) into its FSDP layout."""
-    return jax.device_put(state, fsdp_sharding(state, mesh, axis=axis))
+def _fresh_copy(tree: Any) -> Any:
+    """Deep-copy every array leaf so the result shares no buffers.
+
+    ``jax.device_put`` to a layout the leaf already has ALIASES the buffer
+    instead of copying. A donated train step (``donate_argnums=(0,)``) then
+    deletes buffers still referenced by the caller's original pytree. Every
+    state handed back by :func:`shard_state` / :func:`make_fsdp_train_step`
+    goes through this first, so callers keep full ownership of what they
+    passed in.
+    """
+    return jax.tree_util.tree_map(jnp.array, tree)
+
+
+def shard_state(state: Any, mesh: Mesh, axis: str = DATA_AXIS,
+                min_shard_elems: int = MIN_SHARD_ELEMS):
+    """device_put a TrainState (or any pytree) into its FSDP layout.
+
+    Pass the same ``min_shard_elems`` used at ``make_fsdp_train_step`` time,
+    or the layouts won't match and the next step call silently reshards.
+    The input is deep-copied first (see :func:`_fresh_copy`), so the
+    returned state never aliases ``state`` — safe to feed to a donating
+    step while keeping the original.
+    """
+    shardings = fsdp_sharding(state, mesh, axis=axis,
+                              min_shard_elems=min_shard_elems)
+    return jax.device_put(_fresh_copy(state), shardings)
 
 
 def make_fsdp_train_step(module, tx, state, mesh=None,
@@ -92,7 +116,9 @@ def make_fsdp_train_step(module, tx, state, mesh=None,
     ``step(state, images, targets, mask) -> (state, metrics)`` contract,
     but with parameters AND optimizer state sharded across the data axis
     (gradients reduce-scatter instead of all-reduce; params all-gather at
-    use). ``state`` is placed into the sharded layout before return.
+    use). ``state`` is deep-copied and placed into the sharded layout
+    before return, so the returned state shares no buffers with the input:
+    the donating step can never delete leaves the caller still holds.
     """
     from distdiff_tpu.train.classifier import make_train_step
 
@@ -100,4 +126,4 @@ def make_fsdp_train_step(module, tx, state, mesh=None,
     shardings = fsdp_sharding(state, mesh, min_shard_elems=min_shard_elems)
     step = make_train_step(module, tx, mesh=mesh,
                            state_shardings=shardings, **step_kwargs)
-    return step, jax.device_put(state, shardings)
+    return step, jax.device_put(_fresh_copy(state), shardings)
