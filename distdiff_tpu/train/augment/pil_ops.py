@@ -133,47 +133,16 @@ AUGMENTATIONS_ALL: List[Callable] = AUGMENTATIONS + [
 ]
 
 
-class RandAugment:
-    """Apply N random ops at magnitude M (transform-level 'randaug'; the
-    reference delegates to torchvision.transforms.RandAugment — this is the
-    equivalent built on the local op bank)."""
+# Transform-level 'randaug'/'autoaug' are the torchvision-exact policies
+# (published 25-sub-policy CIFAR-10 table, 14-op RandAugment space and
+# magnitude bins) — see tv_policies.py. Re-exported here so the historical
+# import surface (pil_ops.RandAugment / pil_ops.AutoAugmentCIFAR) stands.
+from distdiff_tpu.train.augment.tv_policies import (  # noqa: E402,F401
+    AutoAugmentCIFAR10,
+    RandAugment,
+)
 
-    def __init__(self, n: int = 2, m: int = 9):
-        self.n = n
-        self.m = m
-
-    def __call__(self, img: Image.Image, rng=None) -> Image.Image:
-        r = _rng(rng)
-        ops = r.choice(len(AUGMENTATIONS_ALL), self.n)
-        for oi in ops:
-            img = AUGMENTATIONS_ALL[oi](img, severity=self.m, rng=r)
-        return img
-
-
-class AutoAugmentCIFAR:
-    """Compact CIFAR AutoAugment stand-in: a sampled sub-policy of two
-    (op, prob, severity) stages from the published policy distribution."""
-
-    _POLICIES = [
-        [(rotate, 0.7, 2), (translate_x, 0.3, 9)],
-        [(sharpness, 0.8, 1), (sharpness, 0.9, 3)],
-        [(shear_y, 0.5, 8), (translate_y, 0.7, 9)],
-        [(autocontrast, 0.5, 8), (equalize, 0.9, 2)],
-        [(shear_y, 0.2, 7), (posterize, 0.3, 7)],
-        [(color, 0.4, 3), (brightness, 0.6, 7)],
-        [(sharpness, 0.3, 9), (brightness, 0.7, 9)],
-        [(equalize, 0.6, 5), (equalize, 0.5, 1)],
-        [(contrast, 0.6, 7), (sharpness, 0.6, 5)],
-        [(color, 0.7, 7), (translate_x, 0.5, 8)],
-    ]
-
-    def __call__(self, img: Image.Image, rng=None) -> Image.Image:
-        r = _rng(rng)
-        policy = self._POLICIES[r.integers(len(self._POLICIES))]
-        for op, prob, severity in policy:
-            if r.random() < prob:
-                img = op(img, severity=severity, rng=r)
-        return img
+AutoAugmentCIFAR = AutoAugmentCIFAR10
 
 
 class Cutout:

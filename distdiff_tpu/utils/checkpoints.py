@@ -34,9 +34,19 @@ def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
 
 
 def restore_variables(path: str, template: Any) -> Any:
-    """Restore model variables ({'params': ..., 'batch_stats': ...})."""
-    restored = restore_pytree(path, template)
-    return jax.tree.map(lambda t, r: r, template, restored)
+    """Restore model variables ({'params': ..., 'batch_stats': ...}).
+
+    Accepts either a bare variables checkpoint or a trainer checkpoint as
+    written by :func:`save_train_checkpoint` (``{"state": TrainState,
+    "epoch", "best_acc"}`` — e.g. a trainer's ``model_best`` dir passed as
+    ``--encoder_weight_path``): the optimizer state and counters are
+    dropped, only the template's collections (params, batch_stats) load.
+    """
+    raw = restore_pytree(path)
+    if isinstance(raw, dict) and "state" in raw and "epoch" in raw:
+        raw = raw["state"]
+    picked = {k: raw[k] for k in template}
+    return jax.tree.map(lambda t, r: r, template, picked)
 
 
 def save_train_checkpoint(

@@ -45,7 +45,7 @@ def parse_args(argv=None):
     p.add_argument("--dataset", default="breastmnist")
     p.add_argument("--data_root", default=None,
                    help="existing dataset root; default fabricates a toy "
-                        "2-class tree under --workdir")
+                        "class-dir tree under --workdir")
     p.add_argument("--workdir", default="quality_loop_out")
     p.add_argument("--arch", default="tiny_resnet")
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
@@ -61,28 +61,65 @@ def parse_args(argv=None):
     p.add_argument("--guidance_step", type=int, default=4)
     p.add_argument("--guidance_period", type=int, default=2)
     p.add_argument("--K", type=int, default=2)
+    # fabricated-dataset scale (ignored when --data_root is given)
+    p.add_argument("--n_classes", type=int, default=2)
+    p.add_argument("--n_train", type=int, default=6)
+    p.add_argument("--n_test", type=int, default=4)
+    p.add_argument("--toy_size", type=int, default=20)
+    p.add_argument("--toy_noise", type=float, default=45.0,
+                   help="per-pixel noise sigma in the fabricated data")
+    p.add_argument("--toy_jitter", type=float, default=0.0,
+                   help="per-IMAGE class-color jitter sigma; raise toward "
+                        "the inter-class color distance to pull baseline "
+                        "accuracy off 100%% (class distributions overlap, "
+                        "so extra in-distribution data genuinely helps)")
+    # reference protocol step 1 ("obtain guide model", README.md:39-46):
+    # train the guide encoder on the ORIGINAL data first and feed its
+    # checkpoint to the expansion, instead of guiding with random features
+    p.add_argument("--train_guide", action="store_true")
+    p.add_argument("--guide_epochs", type=int, default=None,
+                   help="epochs for the guide-encoder pre-training "
+                        "(default: same as --epochs)")
     return p.parse_args(argv)
 
 
-def fabricate_toy_dataset(root: str, classes=("alpha", "beta"),
-                          n_train: int = 6, n_test: int = 4, size=20):
-    """Class-per-dir medmnist-style tree with learnable color structure."""
+def fabricate_toy_dataset(root: str, n_classes: int = 2, n_train: int = 6,
+                          n_test: int = 4, size: int = 20,
+                          noise: float = 45.0, jitter: float = 0.0):
+    """Class-per-dir medmnist-style tree with learnable color structure.
+
+    Each class gets a fixed random mean-color signature; every IMAGE draws
+    its own color at class mean + N(0, jitter) (so with jitter on the order
+    of the inter-class distance the class-conditional distributions overlap
+    and the tiny train split undersamples them — the regime where dataset
+    expansion can genuinely move test accuracy), then per-pixel noise on
+    top. With jitter=0 a class-positioned bright stripe keeps the legacy
+    trivially-separable smoke behavior.
+    """
     from PIL import Image
 
-    rng = np.random.RandomState(0)
+    classes = [f"class_{i:02d}" for i in range(n_classes)]
     base = os.path.join(root, "medmnist", "breastmnist")
+    crng = np.random.RandomState(1234)
+    colors = crng.randint(40, 200, (n_classes, 3))
     for ci, cat in enumerate(classes):
         for split, n in (("train", n_train), ("test", n_test)):
+            rng = np.random.RandomState(7919 * ci + (0 if split == "train" else 1))
             for k in range(n):
                 d = os.path.join(base, split, cat)
                 os.makedirs(d, exist_ok=True)
-                arr = rng.randint(0, 40, (size, size, 3)).astype(np.uint8)
-                arr[..., ci] += 150  # class-colored channel
+                img_color = colors[ci] + rng.normal(0.0, jitter, 3)
+                arr = rng.normal(img_color, noise, (size, size, 3))
+                if jitter == 0.0:
+                    row = (ci * size) // max(n_classes, 1)
+                    arr[row, :, :] += 40.0  # class-positioned bright stripe
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
                 Image.fromarray(arr).save(os.path.join(d, f"{split}_{k}.png"))
     return root
 
 
-def run_expansion(args, guidance_type: str, out_dir: str):
+def run_expansion(args, guidance_type: str, out_dir: str,
+                  encoder_weight_path=None):
     from distdiff_tpu.cli import generate_data as cli_gen
 
     argv = [
@@ -99,10 +136,35 @@ def run_expansion(args, guidance_type: str, out_dir: str):
         argv += ["--tiny"]
     if args.sd_checkpoint:
         argv += ["--sd_checkpoint", args.sd_checkpoint]
+    if encoder_weight_path:
+        argv += ["--encoder_weight_path", encoder_weight_path]
     stats = cli_gen.main(argv)
     print(f"[quality_loop] expansion ({guidance_type}): "
           f"{stats['written']} images -> {out_dir}", flush=True)
     return stats
+
+
+def train_guide_encoder(args, ckpt_root: str) -> str:
+    """Reference protocol step 1: train the guide encoder on the original
+    data (``README.md:39-46``) and return its best-checkpoint path for
+    ``--encoder_weight_path``. Prototypes then come from TRAINED features
+    instead of random init, which is what makes the energy class-aware."""
+    from distdiff_tpu.cli import train as cli_train
+
+    ckpt = os.path.join(ckpt_root, "guide_encoder")
+    best = os.path.join(ckpt, "model_best")
+    if not os.path.exists(os.path.join(ckpt, "results.yaml")):
+        cli_train.main([
+            "-d", args.dataset, "--data_root", args.data_root,
+            "-a", args.arch,
+            "--epochs", str(args.guide_epochs or args.epochs),
+            "--train-batch", str(args.train_batch),
+            "--test-batch", str(args.train_batch),
+            "--input_size", str(args.input_size), "--lr", str(args.lr),
+            "--manualSeed", "0", "--checkpoint", ckpt,
+        ])
+    print(f"[quality_loop] guide encoder trained -> {best}", flush=True)
+    return best
 
 
 def run_training(args, variant: str, expanded_dir, ckpt_root: str):
@@ -149,14 +211,20 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
     if args.data_root is None:
         args.data_root = fabricate_toy_dataset(
-            os.path.join(args.workdir, "data"))
+            os.path.join(args.workdir, "data"), n_classes=args.n_classes,
+            n_train=args.n_train, n_test=args.n_test, size=args.toy_size,
+            noise=args.toy_noise, jitter=args.toy_jitter)
+
+    ckpt_root = os.path.join(args.workdir, "checkpoint")
+    encoder_path = (
+        train_guide_encoder(args, ckpt_root) if args.train_guide else None)
 
     guided_dir = os.path.join(args.workdir, "expanded_guided")
     unguided_dir = os.path.join(args.workdir, "expanded_unguided")
-    run_expansion(args, "transform_guidance", guided_dir)
-    run_expansion(args, "none", unguided_dir)
-
-    ckpt_root = os.path.join(args.workdir, "checkpoint")
+    run_expansion(args, "transform_guidance", guided_dir,
+                  encoder_weight_path=encoder_path)
+    run_expansion(args, "none", unguided_dir,
+                  encoder_weight_path=encoder_path)
     run_training(args, "original", None, ckpt_root)
     run_training(args, "unguided", unguided_dir, ckpt_root)
     run_training(args, "guided", guided_dir, ckpt_root)
