@@ -118,3 +118,42 @@ def test_pp_dp_composition(tiny_unet):
     assert all(len(m.devices.ravel()) == 4 for m in pp.meshes)
     out = pp(x, 3, ctx)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pp_microbatched_enqueue_is_nonblocking(tiny_unet):
+    """The GPipe overlap mechanism: ``microbatched`` must ENQUEUE all
+    stage×microbatch programs without blocking on device completion (JAX's
+    per-device async queues are what overlap stages on real hardware —
+    this single-core CI host cannot wall-clock concurrent execution, so
+    the test pins the mechanism: host-side dispatch returns well before a
+    synchronized pass completes)."""
+    import time
+
+    unet, params, x, ctx, ref = tiny_unet
+    pp = PipelinedUNet(unet, params, n_stages=2)
+
+    # batch large enough that device compute dwarfs host dispatch cost —
+    # at the fixture's batch 4 the 8 jit-call dispatches dominate and
+    # enqueue == sync regardless of asynchrony
+    xb = jnp.concatenate([x] * 32)
+    cb = jnp.concatenate([ctx] * 32)
+
+    # warm-up: compile every stage program at the microbatch shape
+    jax.block_until_ready(pp.microbatched(xb, 3, cb, n_micro=4))
+
+    sync = []
+    enqueue = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = pp.microbatched(xb, 3, cb, n_micro=4)
+        t1 = time.perf_counter()
+        jax.block_until_ready(out)
+        t2 = time.perf_counter()
+        enqueue.append(t1 - t0)
+        sync.append(t2 - t0)
+    # dispatch must not wait for the device: enqueue time well under the
+    # full synchronized pass (generous 0.7 bound for single-core jitter;
+    # a blocking dispatch would make them equal)
+    assert min(enqueue) < 0.7 * max(sync), (enqueue, sync)
+    np.testing.assert_allclose(np.asarray(out)[:4], ref, rtol=1e-4,
+                               atol=1e-4)
