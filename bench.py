@@ -32,7 +32,7 @@ import numpy as np
 
 def build(preset: str, batch: int, scheduler: str = "ddim",
           steps: int = None, deep_cache: bool = False,
-          cache_interval: int = 3):
+          cache_interval: int = 3, guidance_type: str = "transform_guidance"):
     import dataclasses
 
     from distdiff_tpu.config import GuidanceConfig, PipelineConfig
@@ -61,6 +61,8 @@ def build(preset: str, batch: int, scheduler: str = "ddim",
                              lazy_init=True)
         gcfg = GuidanceConfig()  # reference defaults (expand_diff.sh)
 
+    if guidance_type != "transform_guidance":
+        gcfg = dataclasses.replace(gcfg, guidance_type=guidance_type)
     if scheduler != "ddim":
         config = dataclasses.replace(config, scheduler=scheduler)
     if steps is not None:
@@ -239,6 +241,11 @@ def main():
                    help="DeepCache datapoint (approximate; NOT the "
                         "official metric)")
     p.add_argument("--cache_interval", type=int, default=3)
+    p.add_argument("--guidance_type", default="transform_guidance",
+                   choices=["transform_guidance", "direct_guidance"],
+                   help="the official metric is transform_guidance; "
+                        "direct_guidance descends on the latent at EVERY "
+                        "window step (reference generate_data.py:735-767)")
     args = p.parse_args()
     if args.batch is None:
         # sd21: batch 4 OOMs in the final 768^2 decode span on v5e-1
@@ -301,7 +308,8 @@ def main():
         pipe, bench_args = build(args.preset, args.batch,
                                  scheduler=args.scheduler, steps=args.steps,
                                  deep_cache=args.deep_cache,
-                                 cache_interval=args.cache_interval)
+                                 cache_interval=args.cache_interval,
+                                 guidance_type=args.guidance_type)
     if not args.fp32_params:
         from distdiff_tpu.sampling.pipeline import cast_params_bf16
 
@@ -362,16 +370,18 @@ def main():
         f"steady-state: {dt:.3f}s/batch of {args.batch} "
         f"({ips:.3f} img/s/chip)", file=sys.stderr,
     )
+    gt = args.guidance_type
     metric = {
-        "sd15": "guided images/sec/chip (SD-1.5 DDIM-50 512^2, transform_guidance)",
+        "sd15": f"guided images/sec/chip (SD-1.5 DDIM-50 512^2, {gt})",
         "tiny": "guided images/sec/chip (tiny preset)",
-        "sd21": "guided images/sec/chip (SD-2.1 768-v DDIM-50, transform_guidance)",
+        "sd21": f"guided images/sec/chip (SD-2.1 768-v DDIM-50, {gt})",
         "sdxl_guided": f"guided images/sec/chip (SDXL-base DDIM-50 "
                        f"{args.sdxl_size}^2, transform_guidance)",
     }[args.preset]
     official = (args.preset in ("sd15", "tiny")
                 and args.scheduler == "ddim" and args.steps is None
-                and not args.deep_cache)
+                and not args.deep_cache
+                and args.guidance_type == "transform_guidance")
     if args.scheduler != "ddim":
         metric += f" [{args.scheduler}]"
     if args.steps is not None:

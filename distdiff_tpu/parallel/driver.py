@@ -125,6 +125,11 @@ class ExpansionDriver:
         t0 = time.time()
         written = 0
         pending = []
+        # (timestamp, cumulative written) after each drained batch — the
+        # first entry absorbs compile/first-dispatch, so the slope over the
+        # rest is the steady-state production rate incl. host prep + PNG
+        # submission (what the <30min/15k-img north star is about)
+        drain_marks: List = []
         # Keep one batch in flight: JAX dispatch is async, so the host
         # fetches/encodes batch i while the device runs batch i+1 (the
         # np.asarray sync otherwise serializes device and host work).
@@ -141,6 +146,7 @@ class ExpansionDriver:
                     continue
                 pending.append(self._writers.submit(save_png, u.out_path, img))
                 written += 1
+            drain_marks.append((time.time(), written))
 
         for bi, (chunk, mask) in enumerate(chunks):
             latents, cond, uncond, targets, keys = self._batch_arrays(chunk)
@@ -166,5 +172,12 @@ class ExpansionDriver:
                 written / dt / self.n_devices if dt > 0 else 0.0
             ),
         }
+        if len(drain_marks) >= 2:
+            (t_a, w_a), (t_b, w_b) = drain_marks[0], drain_marks[-1]
+            if t_b > t_a and w_b > w_a:
+                stats["images_per_sec_steady"] = (w_b - w_a) / (t_b - t_a)
+                stats["images_per_sec_steady_per_device"] = (
+                    stats["images_per_sec_steady"] / self.n_devices
+                )
         log.info("expansion done: %s", stats)
         return stats

@@ -61,6 +61,8 @@ def parse_args(argv=None):
     p.add_argument("--guidance_step", type=int, default=4)
     p.add_argument("--guidance_period", type=int, default=2)
     p.add_argument("--K", type=int, default=2)
+    p.add_argument("--strength", type=float, default=0.5,
+                   help="img2img noising strength for the expansions")
     # fabricated-dataset scale (ignored when --data_root is given)
     p.add_argument("--n_classes", type=int, default=2)
     p.add_argument("--n_train", type=int, default=6)
@@ -129,6 +131,7 @@ def run_expansion(args, guidance_type: str, out_dir: str,
         "--guidance_period", str(args.guidance_period), "--K", str(args.K),
         "--num_images_per_prompt", str(args.num_images_per_prompt),
         "--train_batch_size", "1",
+        "--strength", str(args.strength),
         "--output_dir", out_dir, "--seed", "0",
         "--resolution", str(args.resolution),
     ]

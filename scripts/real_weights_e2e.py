@@ -31,6 +31,7 @@ from PIL import Image
 
 
 def make_toy_dataset(root: str, classes=("alpha", "beta"), n=2):
+    rng = np.random.RandomState(0)
     for ci, cat in enumerate(classes):
         base = os.path.join(root, "medmnist", "breastmnist")
         for split, k in (("train", n), ("test", 1)):
@@ -38,7 +39,9 @@ def make_toy_dataset(root: str, classes=("alpha", "beta"), n=2):
                 p = os.path.join(base, split, cat, f"img_{i}.png")
                 os.makedirs(os.path.dirname(p), exist_ok=True)
                 shade = 50 + 150 * ci
-                Image.new("RGB", (96, 96), (shade, shade // 2, 30 + i)).save(p)
+                arr = rng.randint(0, 60, (96, 96, 3)).astype(np.uint8)
+                arr[..., 0] = np.minimum(255, arr[..., 0] + shade)
+                Image.fromarray(arr).save(p)
     return root
 
 
@@ -48,6 +51,9 @@ def main():
     p.add_argument("--workdir", default=None)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--max_units", type=int, default=2)
+    p.add_argument("--n_per_class", type=int, default=2,
+                   help="fabricated train images per class")
+    p.add_argument("--num_images_per_prompt", type=int, default=1)
     args = p.parse_args()
 
     from distdiff_tpu.config import PipelineConfig
@@ -61,7 +67,8 @@ def main():
               f"({time.time()-t0:.0f}s)", flush=True)
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="distdiff_e2e_")
-    data_root = make_toy_dataset(os.path.join(workdir, "data"))
+    data_root = make_toy_dataset(os.path.join(workdir, "data"),
+                                 n=args.n_per_class)
     os.chdir(workdir)  # save/ caches land here
     out_dir = os.path.join(workdir, "out")
 
@@ -73,12 +80,13 @@ def main():
         "--sd_checkpoint", args.ckpt,
         "-a", "resnet50",
         "--guidance_type", "transform_guidance",
-        "--num_images_per_prompt", "1",
+        "--num_images_per_prompt", str(args.num_images_per_prompt),
         "--train_batch_size", str(args.batch),
         "--max_units", str(args.max_units),
         "--output_dir", out_dir, "--seed", "0",
     ])
     dt = time.time() - t0
+    print(f"driver stats: {stats}", flush=True)
     pngs = []
     for r, _, files in os.walk(out_dir):
         pngs += [os.path.join(r, f) for f in files if f.endswith(".png")]
