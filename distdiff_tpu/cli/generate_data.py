@@ -61,9 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--guidance_type", type=str, default="transform_guidance",
                    choices=["transform_guidance", "direct_guidance", "none"])
     p.add_argument("--constraint_value", type=float, default=0.2)
-    p.add_argument("--steps", type=int, default=50,
+    p.add_argument("--steps", type=int, default=None,
                    help="DDIM steps (the reference parses but hardcodes 50, "
-                        "generate_data.py:217,1043 — here the flag is live)")
+                        "generate_data.py:217,1043 — here the flag is live; "
+                        "default: the model config's plan, 50 / tiny 10)")
     p.add_argument("--scheduler", type=str, default="ddim",
                    choices=["ddim", "dpmpp"],
                    help="sampling solver (beyond-reference: dpmpp = "
@@ -151,22 +152,19 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
                     config, prediction_type="v_prediction")
         guide_input = config.sample_size
     elif sdxl:
-        config = dataclasses.replace(
-            PipelineConfig.sdxl_base(sample_size=args.resolution),
-            num_inference_steps=args.steps,
-        )
+        config = PipelineConfig.sdxl_base(sample_size=args.resolution)
         guide_input = 224
     elif model == "sd21":
-        config = dataclasses.replace(
-            PipelineConfig.sd21(sample_size=args.resolution),
-            num_inference_steps=args.steps,
-        )
+        config = PipelineConfig.sd21(sample_size=args.resolution)
         guide_input = 224
     else:
-        config = PipelineConfig(
-            sample_size=args.resolution, num_inference_steps=args.steps
-        )
+        config = PipelineConfig(sample_size=args.resolution)
         guide_input = 224
+    if args.steps is not None:
+        # applies to EVERY branch including --tiny (r4 fix: the tiny branch
+        # silently ignored --steps, so low-strength runs could never keep
+        # the guidance window inside the executed span)
+        config = dataclasses.replace(config, num_inference_steps=args.steps)
     if getattr(args, "scheduler", "ddim") != "ddim":
         config = dataclasses.replace(config, scheduler=args.scheduler)
     if getattr(args, "deep_cache", False):

@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--K", type=int, default=2)
     p.add_argument("--strength", type=float, default=0.5,
                    help="img2img noising strength for the expansions")
+    p.add_argument("--steps", type=int, default=None,
+                   help="DDIM steps for the expansions (more steps keep "
+                        "the guidance window inside the executed span at "
+                        "low --strength)")
     # fabricated-dataset scale (ignored when --data_root is given)
     p.add_argument("--n_classes", type=int, default=2)
     p.add_argument("--n_train", type=int, default=6)
@@ -135,6 +139,8 @@ def run_expansion(args, guidance_type: str, out_dir: str,
         "--output_dir", out_dir, "--seed", "0",
         "--resolution", str(args.resolution),
     ]
+    if args.steps is not None:
+        argv += ["--steps", str(args.steps)]
     if args.tiny:
         argv += ["--tiny"]
     if args.sd_checkpoint:
