@@ -86,6 +86,13 @@ def parse_args(argv=None):
     p.add_argument("--guide_epochs", type=int, default=None,
                    help="epochs for the guide-encoder pre-training "
                         "(default: same as --epochs)")
+    # the reference's SD VAE is a REAL autoencoder; the tiny config's
+    # random-weight VAE destroys its input (decode(encode(x)) !~ x), which
+    # makes every expansion label noise regardless of strength. This stage
+    # trains the tiny VAE on reconstruction so the tiny loop operates in
+    # the same regime as the real pipeline.
+    p.add_argument("--train_vae", action="store_true")
+    p.add_argument("--vae_steps", type=int, default=800)
     return p.parse_args(argv)
 
 
@@ -125,7 +132,7 @@ def fabricate_toy_dataset(root: str, n_classes: int = 2, n_train: int = 6,
 
 
 def run_expansion(args, guidance_type: str, out_dir: str,
-                  encoder_weight_path=None):
+                  encoder_weight_path=None, params_path=None):
     from distdiff_tpu.cli import generate_data as cli_gen
 
     argv = [
@@ -147,10 +154,87 @@ def run_expansion(args, guidance_type: str, out_dir: str,
         argv += ["--sd_checkpoint", args.sd_checkpoint]
     if encoder_weight_path:
         argv += ["--encoder_weight_path", encoder_weight_path]
+    if params_path:
+        argv += ["--params_path", params_path]
     stats = cli_gen.main(argv)
     print(f"[quality_loop] expansion ({guidance_type}): "
           f"{stats['written']} images -> {out_dir}", flush=True)
     return stats
+
+
+def pretrain_tiny_vae(args, out_path: str) -> str:
+    """Train the tiny pipeline's VAE to reconstruct the original images and
+    save the full SD param tree for ``--params_path``.
+
+    Loss: pixel MSE + tiny KL (keeps the posterior sane) + a latent-scale
+    term pulling the SCALED latent (z * scaling_factor, what the DDIM
+    img2img path noises) toward unit RMS so add_noise operates at its
+    design point. ~1e4 params, one jitted full-batch Adam loop.
+    """
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from PIL import Image
+
+    from distdiff_tpu.cli.generate_data import build_pipeline
+    from distdiff_tpu.cli.generate_data import parse_args as gparse
+
+    if os.path.exists(os.path.join(out_path, "_METADATA")) or (
+            os.path.isdir(out_path) and os.listdir(out_path)):
+        print(f"[quality_loop] reuse pretrained VAE params {out_path}",
+              flush=True)
+        return out_path
+
+    gargs = gparse(["-d", args.dataset, "--output_dir", "unused", "--tiny",
+                    "--resolution", str(args.resolution), "--seed", "0"])
+    pipe = build_pipeline(gargs)
+    size = pipe.config.sample_size
+    files = sorted(glob.glob(os.path.join(
+        args.data_root, "medmnist", args.dataset, "train", "*", "*.png")))
+    assert files, args.data_root
+    imgs = np.stack([
+        np.asarray(
+            Image.open(f).convert("RGB").resize((size, size), Image.BICUBIC),
+            np.float32,
+        ) / 127.5 - 1.0
+        for f in files
+    ])
+    x = jnp.asarray(imgs)
+
+    vae = pipe.vae
+    sf = pipe.config.vae.scaling_factor
+    params = dict(pipe.params)
+    vp0 = params["vae"]
+    tx = optax.adam(2e-3)
+
+    def loss_fn(vp):
+        mean, logvar = vae.apply({"params": vp}, x,
+                                 method=type(vae).encode_moments)
+        recon = vae.apply({"params": vp}, mean, method=type(vae).decode)
+        mse = jnp.mean((recon - x) ** 2)
+        kl = jnp.mean(0.5 * (mean ** 2 + jnp.exp(logvar) - 1.0 - logvar))
+        rms = jnp.sqrt(jnp.mean((mean * sf) ** 2) + 1e-8)
+        return mse + 1e-4 * kl + 0.05 * (rms - 1.0) ** 2, (mse, rms)
+
+    @jax.jit
+    def step(vp, opt):
+        (l, (mse, rms)), g = jax.value_and_grad(loss_fn, has_aux=True)(vp)
+        upd, opt = tx.update(g, opt, vp)
+        return optax.apply_updates(vp, upd), opt, l, mse, rms
+
+    vp, opt = vp0, tx.init(vp0)
+    for i in range(args.vae_steps):
+        vp, opt, l, mse, rms = step(vp, opt)
+    print(f"[quality_loop] tiny VAE pretrained: recon mse {float(mse):.4f}, "
+          f"scaled-latent rms {float(rms):.2f} ({args.vae_steps} steps)",
+          flush=True)
+    params["vae"] = vp
+    from distdiff_tpu.utils import checkpoints as ckpt
+
+    ckpt.save_pytree(out_path, params)
+    return out_path
 
 
 def train_guide_encoder(args, ckpt_root: str) -> str:
@@ -227,13 +311,16 @@ def main(argv=None):
     ckpt_root = os.path.join(args.workdir, "checkpoint")
     encoder_path = (
         train_guide_encoder(args, ckpt_root) if args.train_guide else None)
+    params_path = (
+        pretrain_tiny_vae(args, os.path.join(args.workdir, "sd_params"))
+        if args.train_vae else None)
 
     guided_dir = os.path.join(args.workdir, "expanded_guided")
     unguided_dir = os.path.join(args.workdir, "expanded_unguided")
     run_expansion(args, "transform_guidance", guided_dir,
-                  encoder_weight_path=encoder_path)
+                  encoder_weight_path=encoder_path, params_path=params_path)
     run_expansion(args, "none", unguided_dir,
-                  encoder_weight_path=encoder_path)
+                  encoder_weight_path=encoder_path, params_path=params_path)
     run_training(args, "original", None, ckpt_root)
     run_training(args, "unguided", unguided_dir, ckpt_root)
     run_training(args, "guided", guided_dir, ckpt_root)
