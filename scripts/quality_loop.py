@@ -93,6 +93,16 @@ def parse_args(argv=None):
     # the same regime as the real pipeline.
     p.add_argument("--train_vae", action="store_true")
     p.add_argument("--vae_steps", type=int, default=800)
+    # the reference's SD UNet is a TRAINED denoiser; the tiny config's
+    # random UNet means every executed denoise step moves latents AWAY from
+    # the data manifold, so expansions can only ever be corrupted copies and
+    # the reference ordering (guided > unguided > original) cannot emerge.
+    # This stage trains the tiny UNet with the standard eps-prediction MSE
+    # (the reference SD training objective) on the (trained-)VAE latents of
+    # the original images, conditioned on the SAME per-class prompt
+    # embeddings the expansion uses, with 10% uncond dropout for CFG.
+    p.add_argument("--train_unet", action="store_true")
+    p.add_argument("--unet_steps", type=int, default=2000)
     return p.parse_args(argv)
 
 
@@ -237,6 +247,126 @@ def pretrain_tiny_vae(args, out_path: str) -> str:
     return out_path
 
 
+def pretrain_tiny_unet(args, in_params_path, out_path: str) -> str:
+    """Denoising pre-training for the tiny UNet (reference-regime parity).
+
+    Standard diffusion training (the objective behind the reference's SD
+    checkpoint): eps-prediction MSE over uniformly sampled timesteps on the
+    VAE latents of the original train images, conditioned on the per-class
+    prompt embeddings (``data/templates.py``) with 10% uncond dropout so
+    the CFG pair at generation time is meaningful. Starts from
+    ``in_params_path`` (the --train_vae output) when given, so the latents
+    being denoised are the ones generation will actually traverse.
+    """
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from PIL import Image
+
+    from distdiff_tpu.cli.generate_data import build_pipeline
+    from distdiff_tpu.cli.generate_data import parse_args as gparse
+    from distdiff_tpu.data.templates import template_for
+    from distdiff_tpu.models import load_tokenizer
+    from distdiff_tpu.schedulers.ddim import add_noise
+    from distdiff_tpu.utils import checkpoints as ckpt
+
+    if os.path.exists(os.path.join(out_path, "_METADATA")) or (
+            os.path.isdir(out_path) and os.listdir(out_path)):
+        print(f"[quality_loop] reuse pretrained UNet params {out_path}",
+              flush=True)
+        return out_path
+
+    gargv = ["-d", args.dataset, "--output_dir", "unused", "--tiny",
+             "--resolution", str(args.resolution), "--seed", "0"]
+    if in_params_path:
+        gargv += ["--params_path", in_params_path]
+    gargs = gparse(gargv)
+    pipe = build_pipeline(gargs)
+    size = pipe.config.sample_size
+    sf = pipe.config.vae.scaling_factor
+    params = dict(pipe.params)
+
+    train_root = os.path.join(
+        args.data_root, "medmnist", args.dataset, "train")
+    classes = sorted(
+        d for d in os.listdir(train_root)
+        if os.path.isdir(os.path.join(train_root, d)))
+    files, labels = [], []
+    for ci, cat in enumerate(classes):
+        fs = sorted(glob.glob(os.path.join(train_root, cat, "*.png")))
+        files += fs
+        labels += [ci] * len(fs)
+    assert files, train_root
+    imgs = np.stack([
+        np.asarray(
+            Image.open(f).convert("RGB").resize((size, size), Image.BICUBIC),
+            np.float32,
+        ) / 127.5 - 1.0
+        for f in files
+    ])
+    x = jnp.asarray(imgs)
+    y = jnp.asarray(np.asarray(labels, np.int32))
+
+    # latents exactly as the img2img path sees them: posterior mean * sf
+    mean, _ = pipe.vae.apply({"params": params["vae"]}, x,
+                             method=type(pipe.vae).encode_moments)
+    latents = mean * sf
+
+    # per-class ctx through the SAME template + tokenizer + text encoder
+    # the expansion uses (generate_data.py main); index -1 is uncond ("")
+    template = template_for(args.dataset)
+    tok = load_tokenizer(
+        max_length=pipe.config.text_encoder.max_length,
+        vocab_size=pipe.config.text_encoder.vocab_size, strict=False)
+    prompts = [template.format(c) for c in classes] + [""]
+    ctx_bank = pipe.encode_text(params, jnp.asarray(tok(prompts)))
+
+    sched = pipe.sched
+    n_train = sched.alphas_cumprod.shape[0]
+    unet = pipe.unet
+    tx = optax.adam(2e-3)
+
+    def loss_fn(up, t, noise, drop):
+        cls_ctx = ctx_bank[y]
+        unc_ctx = jnp.broadcast_to(ctx_bank[-1][None], cls_ctx.shape)
+        ctx = jnp.where(drop[:, None, None], unc_ctx, cls_ctx)
+        x_t = add_noise(sched, latents, noise, t)
+        pred = unet.apply({"params": up}, x_t, t, ctx)
+        if sched.prediction_type == "v_prediction":
+            a = sched.alphas_cumprod[t].astype(jnp.float32)
+            while a.ndim < latents.ndim:
+                a = a[..., None]
+            target = (jnp.sqrt(a) * noise.astype(jnp.float32)
+                      - jnp.sqrt(1.0 - a) * latents.astype(jnp.float32))
+        else:
+            target = noise.astype(jnp.float32)
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+    @jax.jit
+    def step(up, opt, key):
+        kt, kn, kd = jax.random.split(key, 3)
+        t = jax.random.randint(kt, (latents.shape[0],), 0, n_train)
+        noise = jax.random.normal(kn, latents.shape, jnp.float32)
+        drop = jax.random.uniform(kd, (latents.shape[0],)) < 0.1
+        l, g = jax.value_and_grad(loss_fn)(up, t, noise, drop)
+        upd, opt = tx.update(g, opt, up)
+        return optax.apply_updates(up, upd), opt, l
+
+    up, opt = params["unet"], tx.init(params["unet"])
+    key = jax.random.PRNGKey(0)
+    for i in range(args.unet_steps):
+        key, sub = jax.random.split(key)
+        up, opt, l = step(up, opt, sub)
+    print(f"[quality_loop] tiny UNet pretrained: denoise loss "
+          f"{float(l):.4f} ({args.unet_steps} steps, {len(files)} images, "
+          f"{len(classes)} classes)", flush=True)
+    params["unet"] = up
+    ckpt.save_pytree(out_path, params)
+    return out_path
+
+
 def train_guide_encoder(args, ckpt_root: str) -> str:
     """Reference protocol step 1: train the guide encoder on the original
     data (``README.md:39-46``) and return its best-checkpoint path for
@@ -314,6 +444,9 @@ def main(argv=None):
     params_path = (
         pretrain_tiny_vae(args, os.path.join(args.workdir, "sd_params"))
         if args.train_vae else None)
+    if args.train_unet:
+        params_path = pretrain_tiny_unet(
+            args, params_path, os.path.join(args.workdir, "sd_params_unet"))
 
     guided_dir = os.path.join(args.workdir, "expanded_guided")
     unguided_dir = os.path.join(args.workdir, "expanded_unguided")
