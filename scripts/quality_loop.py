@@ -63,6 +63,8 @@ def parse_args(argv=None):
     p.add_argument("--K", type=int, default=2)
     p.add_argument("--strength", type=float, default=0.5,
                    help="img2img noising strength for the expansions")
+    p.add_argument("--guidance_scale", type=float, default=7.5,
+                   help="CFG scale for the expansions")
     p.add_argument("--steps", type=int, default=None,
                    help="DDIM steps for the expansions (more steps keep "
                         "the guidance window inside the executed span at "
@@ -153,6 +155,7 @@ def run_expansion(args, guidance_type: str, out_dir: str,
         "--num_images_per_prompt", str(args.num_images_per_prompt),
         "--train_batch_size", "1",
         "--strength", str(args.strength),
+        "--guidance_scale", str(args.guidance_scale),
         "--output_dir", out_dir, "--seed", "0",
         "--resolution", str(args.resolution),
     ]
