@@ -14,6 +14,7 @@ import shutil
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -25,12 +26,43 @@ def save_pytree(path: str, tree: Any) -> None:
         ckptr.save(path, tree)
 
 
+def _restore_as_numpy(ckptr, path: str, template: Optional[Any]):
+    """Cross-backend restore: materialize every array leaf as host numpy.
+
+    A checkpoint saved under one backend (e.g. the axon TPU) records device
+    shardings that do not exist under another (e.g. a CPU wrapper run);
+    orbax's default restore then fails with "sharding ... Got None".
+    Restoring to ``np.ndarray`` sidesteps device placement entirely — JAX
+    consumers device-put on first use.
+    """
+    if template is not None:
+        item = template
+    else:
+        meta = ckptr.metadata(path)
+        # StepMetadata wraps the pytree of ArrayMetadata leaves
+        item = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+
+    def _ra(leaf):
+        if hasattr(leaf, "shape"):
+            return ocp.RestoreArgs(restore_type=np.ndarray)
+        return ocp.RestoreArgs()
+
+    restore_args = jax.tree.map(_ra, item)
+    if template is None:
+        return ckptr.restore(path, restore_args=restore_args)
+    return ckptr.restore(path, item=template, restore_args=restore_args)
+
+
 def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        if template is None:
-            return ckptr.restore(path)
-        return ckptr.restore(path, item=template)
+        try:
+            if template is None:
+                return ckptr.restore(path)
+            return ckptr.restore(path, item=template)
+        except ValueError:
+            # saved-sharding metadata unresolvable on this backend
+            return _restore_as_numpy(ckptr, path, template)
 
 
 def restore_variables(path: str, template: Any) -> Any:

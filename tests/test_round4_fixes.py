@@ -73,3 +73,31 @@ def test_restore_variables_accepts_trainer_checkpoint(tmp_path):
     r2 = ckpt.restore_variables(str(bare), variables)
     np.testing.assert_array_equal(np.asarray(r2["params"]["w"]),
                                   variables["params"]["w"])
+
+
+def test_restore_pytree_numpy_fallback(tmp_path):
+    """Cross-backend restore path: a checkpoint saved under one backend
+    (e.g. the axon TPU) fails orbax's default sharded restore on another;
+    ``_restore_as_numpy`` must reproduce the tree as host numpy, both with
+    and without a template (no-template goes through StepMetadata)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from distdiff_tpu.utils import checkpoints as ckpt
+
+    tree = {
+        "a": jnp.arange(12.0, dtype=jnp.float32).reshape(3, 4),
+        "nested": {"b": jnp.ones((2,), jnp.int32)},
+    }
+    path = str(tmp_path / "xbackend")
+    ckpt.save_pytree(path, tree)
+
+    with ocp.PyTreeCheckpointer() as c:
+        no_tpl = ckpt._restore_as_numpy(c, path, None)
+        with_tpl = ckpt._restore_as_numpy(
+            c, path, jax.tree.map(np.asarray, tree))
+    for restored in (no_tpl, with_tpl):
+        assert isinstance(restored["a"], np.ndarray)
+        np.testing.assert_array_equal(restored["a"], np.asarray(tree["a"]))
+        np.testing.assert_array_equal(restored["nested"]["b"],
+                                      np.asarray(tree["nested"]["b"]))
