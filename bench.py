@@ -98,7 +98,8 @@ def build(preset: str, batch: int, scheduler: str = "ddim",
     return pipe, (pipe.full_params(), lat, cond, uncond, targets, keys)
 
 
-def build_sdxl_guided(batch: int, sample_size: int):
+def build_sdxl_guided(batch: int, sample_size: int,
+                      guidance_type: str = "transform_guidance"):
     """SDXL-base GUIDED expansion (beyond-reference flagship recipe): the
     DistDiff transform_guidance img2img loop on the SDXL geometry — DDIM-50,
     strength 0.5, CFG, guidance through 2 UNet forwards + 1024^2 VAE decode
@@ -149,7 +150,7 @@ def build_sdxl_guided(batch: int, sample_size: int):
     pipe = ExpansionPipeline.create(
         config,
         sampler_cfg=SamplerConfig(guidance_scale=7.5),
-        guidance_cfg=GuidanceConfig(),
+        guidance_cfg=GuidanceConfig(guidance_type=guidance_type),
         params={**params, **text_params},
         guide=guide, global_protos=gp, local_protos=lp,
         strength=0.5,
@@ -303,7 +304,8 @@ def main():
         return
 
     if args.preset == "sdxl_guided":
-        pipe, bench_args = build_sdxl_guided(args.batch, args.sdxl_size)
+        pipe, bench_args = build_sdxl_guided(args.batch, args.sdxl_size,
+                                             guidance_type=args.guidance_type)
     else:
         pipe, bench_args = build(args.preset, args.batch,
                                  scheduler=args.scheduler, steps=args.steps,
@@ -376,7 +378,7 @@ def main():
         "tiny": "guided images/sec/chip (tiny preset)",
         "sd21": f"guided images/sec/chip (SD-2.1 768-v DDIM-50, {gt})",
         "sdxl_guided": f"guided images/sec/chip (SDXL-base DDIM-50 "
-                       f"{args.sdxl_size}^2, transform_guidance)",
+                       f"{args.sdxl_size}^2, {gt})",
     }[args.preset]
     official = (args.preset in ("sd15", "tiny")
                 and args.scheduler == "ddim" and args.steps is None

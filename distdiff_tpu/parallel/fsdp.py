@@ -79,17 +79,32 @@ def fsdp_sharding(
     return jax.tree_util.tree_map(spec, tree)
 
 
-def _fresh_copy(tree: Any) -> Any:
-    """Deep-copy every array leaf so the result shares no buffers.
+def _put_fresh(tree: Any, shardings: Any) -> Any:
+    """``device_put`` into the FSDP layout without ever aliasing buffers.
 
-    ``jax.device_put`` to a layout the leaf already has ALIASES the buffer
-    instead of copying. A donated train step (``donate_argnums=(0,)``) then
-    deletes buffers still referenced by the caller's original pytree. Every
-    state handed back by :func:`shard_state` / :func:`make_fsdp_train_step`
-    goes through this first, so callers keep full ownership of what they
-    passed in.
+    ``jax.device_put`` to a layout a leaf already (partly) has can REUSE
+    the source buffer instead of copying; a donated train step
+    (``donate_argnums=(0,)``) then deletes buffers still referenced by the
+    caller's original pytree. The aliasing risk only exists where a target
+    per-device buffer can equal a source buffer — replicated targets, or a
+    leaf already in the target sharding. Those leaves are explicitly
+    copied (``jnp.array`` preserves the leaf's current layout). Leaves
+    moving INTO a sharded spec they don't already have get fresh
+    shard-sized buffers from the resharding transfer itself — copying
+    those first (as a blanket ``tree_map(jnp.array, ...)`` would) would
+    materialize the entire unsharded state on one device, defeating the
+    memory scaling FSDP exists for.
     """
-    return jax.tree_util.tree_map(jnp.array, tree)
+    def put(leaf, sh):
+        sharded_spec = any(p is not None for p in sh.spec)
+        if (sharded_spec and isinstance(leaf, jax.Array)
+                and leaf.sharding != sh):
+            return jax.device_put(leaf, sh)  # reshard ⇒ fresh shard buffers
+        if isinstance(leaf, jax.Array):
+            leaf = jnp.array(leaf)  # replicated/matching target: copy first
+        return jax.device_put(leaf, sh)
+
+    return jax.tree_util.tree_map(put, tree, shardings)
 
 
 def shard_state(state: Any, mesh: Mesh, axis: str = DATA_AXIS,
@@ -98,13 +113,12 @@ def shard_state(state: Any, mesh: Mesh, axis: str = DATA_AXIS,
 
     Pass the same ``min_shard_elems`` used at ``make_fsdp_train_step`` time,
     or the layouts won't match and the next step call silently reshards.
-    The input is deep-copied first (see :func:`_fresh_copy`), so the
-    returned state never aliases ``state`` — safe to feed to a donating
-    step while keeping the original.
+    The returned state never aliases ``state`` (see :func:`_put_fresh`) —
+    safe to feed to a donating step while keeping the original.
     """
     shardings = fsdp_sharding(state, mesh, axis=axis,
                               min_shard_elems=min_shard_elems)
-    return jax.device_put(_fresh_copy(state), shardings)
+    return _put_fresh(state, shardings)
 
 
 def make_fsdp_train_step(module, tx, state, mesh=None,
@@ -116,9 +130,9 @@ def make_fsdp_train_step(module, tx, state, mesh=None,
     ``step(state, images, targets, mask) -> (state, metrics)`` contract,
     but with parameters AND optimizer state sharded across the data axis
     (gradients reduce-scatter instead of all-reduce; params all-gather at
-    use). ``state`` is deep-copied and placed into the sharded layout
-    before return, so the returned state shares no buffers with the input:
-    the donating step can never delete leaves the caller still holds.
+    use). ``state`` is placed into the sharded layout alias-free before
+    return (see :func:`_put_fresh`), so the donating step can never delete
+    leaves the caller still holds.
     """
     from distdiff_tpu.train.classifier import make_train_step
 
@@ -126,4 +140,4 @@ def make_fsdp_train_step(module, tx, state, mesh=None,
     shardings = fsdp_sharding(state, mesh, min_shard_elems=min_shard_elems)
     step = make_train_step(module, tx, mesh=mesh,
                            state_shardings=shardings, **step_kwargs)
-    return step, jax.device_put(_fresh_copy(state), shardings)
+    return step, _put_fresh(state, shardings)

@@ -71,13 +71,40 @@ def restore_variables(path: str, template: Any) -> Any:
     Accepts either a bare variables checkpoint or a trainer checkpoint as
     written by :func:`save_train_checkpoint` (``{"state": TrainState,
     "epoch", "best_acc"}`` — e.g. a trainer's ``model_best`` dir passed as
-    ``--encoder_weight_path``): the optimizer state and counters are
-    dropped, only the template's collections (params, batch_stats) load.
+    ``--encoder_weight_path``). Only the template's collections (params,
+    batch_stats) are deserialized — the optimizer state (2× the params
+    bytes for Adam) never leaves disk. Leaves come back as host numpy
+    (cross-backend safe, see :func:`_restore_as_numpy`); a checkpoint
+    lacking a template collection raises a ValueError naming it.
     """
-    raw = restore_pytree(path)
-    if isinstance(raw, dict) and "state" in raw and "epoch" in raw:
-        raw = raw["state"]
-    picked = {k: raw[k] for k in template}
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path)
+        tree_meta = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+        is_trainer = (hasattr(tree_meta, "keys") and "state" in tree_meta
+                      and "epoch" in tree_meta)
+        avail = tree_meta["state"] if is_trainer else tree_meta
+        missing = [k for k in template
+                   if not (hasattr(avail, "keys") and k in avail)]
+        if missing:
+            have = sorted(avail.keys()) if hasattr(avail, "keys") else avail
+            raise ValueError(
+                f"checkpoint at {path} lacks variable collections "
+                f"{missing} required by the model (available: {have})")
+        item: Any = {k: template[k] for k in template}
+        if is_trainer:
+            item = {"state": item}
+
+        def _ra(leaf):
+            if hasattr(leaf, "shape"):
+                return ocp.RestoreArgs(restore_type=np.ndarray)
+            return ocp.RestoreArgs()
+
+        # transforms={} + item restores ONLY the item's keys (partial
+        # restore); restore_args is mandatory alongside transforms
+        restored = ckptr.restore(path, item=item, transforms={},
+                                 restore_args=jax.tree.map(_ra, item))
+    picked = restored["state"] if is_trainer else restored
     return jax.tree.map(lambda t, r: r, template, picked)
 
 

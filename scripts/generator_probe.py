@@ -64,7 +64,9 @@ def probe(train_root: str, gen_root: str) -> dict:
     norm = {c.replace(" ", "_"): c for c in train}
     bias, div = [], []
     for c, m in gen.items():
-        t = train.get(c) or train.get(norm.get(c.replace(" ", "_"), c))
+        t = train.get(c)
+        if t is None:  # ndarray truthiness is ambiguous — no `or` chains
+            t = train.get(norm.get(c.replace(" ", "_"), c))
         if t is None:
             continue
         bias.append(np.abs(m.mean(0) - t.mean(0)).mean())
@@ -103,7 +105,10 @@ def main(argv=None):
     for cfgs in args.configs:
         strength, cfg = (float(x) for x in cfgs.split(":"))
         out = os.path.join(args.out, f"s{strength}_c{cfg}")
-        if not os.path.isdir(out):
+        # a dir without the marker is a crashed partial run: regenerate
+        # (generate_data's manifest skips PNGs that already exist)
+        done_marker = os.path.join(out, ".complete")
+        if not os.path.exists(done_marker):
             cmd = [sys.executable, "-m", "distdiff_tpu.cli.generate_data",
                    "-d", args.dataset, "--data_root", args.data_root,
                    "--guidance_type", "none",
@@ -126,6 +131,8 @@ def main(argv=None):
                 print(f"FAIL s={strength} c={cfg}: {r.stderr[-300:]}",
                       flush=True)
                 continue
+            with open(done_marker, "w") as f:
+                f.write("ok\n")
         row = probe(train_root, out)
         rows[cfgs] = row
         print(f"strength={strength} cfg={cfg}: "

@@ -238,6 +238,7 @@ def pretrain_tiny_vae(args, out_path: str) -> str:
         return optax.apply_updates(vp, upd), opt, l, mse, rms
 
     vp, opt = vp0, tx.init(vp0)
+    mse = rms = float("nan")  # --vae_steps 0: checkpoint the tree untouched
     for i in range(args.vae_steps):
         vp, opt, l, mse, rms = step(vp, opt)
     print(f"[quality_loop] tiny VAE pretrained: recon mse {float(mse):.4f}, "
@@ -359,6 +360,7 @@ def pretrain_tiny_unet(args, in_params_path, out_path: str) -> str:
 
     up, opt = params["unet"], tx.init(params["unet"])
     key = jax.random.PRNGKey(0)
+    l = float("nan")  # --unet_steps 0: checkpoint the tree untouched
     for i in range(args.unet_steps):
         key, sub = jax.random.split(key)
         up, opt, l = step(up, opt, sub)
@@ -434,6 +436,12 @@ def aggregate(ckpt_root: str, variants):
 
 def main(argv=None):
     args = parse_args(argv)
+    if not args.tiny and (args.train_vae or args.train_unet):
+        raise SystemExit(
+            "--train_vae/--train_unet pre-train the TINY pipeline geometry "
+            "and would silently shadow --sd_checkpoint via --params_path; "
+            "with --no-tiny the checkpoint is already a trained "
+            "denoiser — drop these flags.")
     os.makedirs(args.workdir, exist_ok=True)
     if args.data_root is None:
         args.data_root = fabricate_toy_dataset(

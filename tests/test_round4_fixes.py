@@ -101,3 +101,60 @@ def test_restore_pytree_numpy_fallback(tmp_path):
         np.testing.assert_array_equal(restored["a"], np.asarray(tree["a"]))
         np.testing.assert_array_equal(restored["nested"]["b"],
                                       np.asarray(tree["nested"]["b"]))
+
+def test_restore_variables_missing_collection_raises(tmp_path):
+    """A checkpoint lacking a template collection must fail with a clear
+    error naming the collection, not a bare KeyError."""
+    from distdiff_tpu.utils import checkpoints as ckpt
+
+    bare = tmp_path / "params_only"
+    ckpt.save_pytree(str(bare), {"params": {"w": np.ones(4, np.float32)}})
+    template = {"params": {"w": np.zeros(4, np.float32)},
+                "batch_stats": {"m": np.zeros(2, np.float32)}}
+    with pytest.raises(ValueError, match="batch_stats"):
+        ckpt.restore_variables(str(bare), template)
+
+
+def test_quality_loop_rejects_pretrain_stages_without_tiny(tmp_path):
+    """--train_vae/--train_unet pretrain TINY geometry; combined with
+    --no-tiny their --params_path would silently shadow --sd_checkpoint."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "quality_loop.py")
+    spec = importlib.util.spec_from_file_location("quality_loop_g", path)
+    ql = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ql)
+    with pytest.raises(SystemExit, match="TINY"):
+        ql.main(["--workdir", str(tmp_path / "ql"), "--no-tiny",
+                 "--train_unet"])
+
+
+def test_generator_probe_handles_matching_class_names(tmp_path):
+    """probe() on numpy per-class stats: an exact train/gen class-name
+    match must not trip ndarray truthiness (`x or y`)."""
+    import importlib.util
+    import os
+
+    from PIL import Image
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "generator_probe.py")
+    spec = importlib.util.spec_from_file_location("generator_probe", path)
+    gp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gp)
+
+    rng = np.random.RandomState(0)
+    for root in ("train", "gen"):
+        for cls in ("class_00", "class 01"):
+            d = tmp_path / root / (cls if root == "train"
+                                   else cls.replace(" ", "_"))
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(2):
+                Image.fromarray(
+                    rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+                        d / f"img_{i}.png")
+    row = gp.probe(str(tmp_path / "train"), str(tmp_path / "gen"))
+    assert np.isfinite(row["color_bias"])
+    assert np.isfinite(row["diversity"])
