@@ -63,3 +63,41 @@ def test_guided_beats_unguided_five_seeds(tmp_path, monkeypatch):
     # original-only by more than the measured noise floor (~1.5 = one
     # per-variant std at this scale).
     assert table["guided"]["mean"] > table["original"]["mean"] - 1.5, table
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("DISTDIFF_RUN_QUALITY_ORDERING"),
+    reason="multi-seed statistical run (~19 min on TPU); set "
+           "DISTDIFF_RUN_QUALITY_ORDERING=1 to reproduce the "
+           "docs/quality_loop_v5e_r4.md cal14 artifact",
+)
+def test_full_ordering_starved_regime(tmp_path, monkeypatch):
+    """cal14: guided > unguided > original in ONE run (v5e-measured
+    76.60 > 75.80 > 65.60). The expansion-vs-original gap (~+10, ~5 sigma)
+    is asserted hard; the +0.8 guided-vs-unguided edge is within ~1 sigma
+    run-to-run, so it is asserted as non-inferiority (>= -0.5)."""
+    monkeypatch.chdir(tmp_path)
+    ql = _load_quality_loop()
+    table = ql.main([
+        "--workdir", str(tmp_path / "ql"),
+        "--seeds", "1", "2", "3", "4", "5",
+        "--epochs", "12", "--train_batch", "16", "--input_size", "16",
+        "--num_images_per_prompt", "5",
+        "--n_classes", "4", "--n_train", "5", "--n_test", "50",
+        "--toy_noise", "30", "--toy_jitter", "55",
+        "--strength", "0.45", "--guidance_scale", "1.0", "--steps", "20",
+        "--train_guide", "--guide_epochs", "40",
+        "--train_vae", "--train_unet",
+    ])
+    for variant in ("original", "unguided", "guided"):
+        assert table[variant]["n"] == 5, (variant, table)
+    orig = table["original"]["mean"]
+    ung = table["unguided"]["mean"]
+    gui = table["guided"]["mean"]
+    # expansion lifts the starved baseline by ~10 points (~5 sigma);
+    # require half the measured margin so only a real regression fails.
+    assert ung > orig + 5.0, table
+    assert gui > orig + 5.0, table
+    # guidance must not hurt relative to unguided expansion.
+    assert gui >= ung - 0.5, table
