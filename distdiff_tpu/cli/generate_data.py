@@ -130,7 +130,54 @@ def parse_args(argv=None):
                    help="after loading/converting SD weights, save the "
                         "parameter tree here (orbax) for fast reuse via "
                         "--params_path")
+    # --- vestigial reference flags: accepted for drop-in compatibility so
+    # published commands (e.g. the reference's expand_diff.sh passes
+    # --gradient_checkpointing) run unchanged; each is a no-op here because
+    # the TPU path subsumes it. main() logs a notice when one is set.
+    compat = p.add_argument_group(
+        "reference compatibility (accepted and ignored)")
+    compat.add_argument("--gradient_checkpointing", action="store_true",
+                        help="no-op: guidance rollouts always run under "
+                             "jax.checkpoint (remat) policies")
+    compat.add_argument("--enable_xformers_memory_efficient_attention",
+                        action="store_true",
+                        help="no-op: Pallas flash attention is always on")
+    compat.add_argument("--mixed_precision", type=str, default=None,
+                        choices=["no", "fp16", "bf16"],
+                        help="no-op: bf16 activations / fp32 statistics "
+                             "are the fixed TPU-native policy")
+    compat.add_argument("--allow_tf32", action="store_true",
+                        help="no-op: TPU matmul precision is not TF32")
+    compat.add_argument("--local_rank", type=int, default=-1,
+                        help="no-op: one process drives the whole mesh")
+    compat.add_argument("--report_to", type=str, default=None,
+                        help="no-op: the reference's tracker logged an "
+                             "empty dict; use utils/profiling.py instead")
+    compat.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                        help="no-op in generation (as in the reference)")
+    compat.add_argument("--dataloader_num_workers", type=int, default=0,
+                        help="no-op: host prep is pipelined by the driver")
     return p.parse_args(argv)
+
+
+_COMPAT_IGNORED = (
+    ("gradient_checkpointing", False),
+    ("enable_xformers_memory_efficient_attention", False),
+    ("mixed_precision", None),
+    ("allow_tf32", False),
+    ("local_rank", -1),
+    ("report_to", None),
+    ("gradient_accumulation_steps", 1),
+    ("dataloader_num_workers", 0),
+)
+
+
+def _warn_compat_flags(args) -> None:
+    set_flags = [name for name, default in _COMPAT_IGNORED
+                 if getattr(args, name, default) != default]
+    if set_flags:
+        log.info("reference-compatibility flags accepted and ignored "
+                 "(no-ops on the TPU path): %s", ", ".join(set_flags))
 
 
 def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
@@ -302,6 +349,7 @@ def prepare_guide_and_prototypes(args, pipe, sd):
 def main(argv=None):
     args = parse_args(argv)
     setup_logging()
+    _warn_compat_flags(args)
     set_seed(args.seed)
 
     import jax

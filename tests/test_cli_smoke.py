@@ -191,3 +191,37 @@ def test_cli_train_lora_then_generate_with_adapter(toy_root, tmp_path,
         "--lora", lora_file,
     ])
     assert stats["written"] > 0
+
+
+def test_reference_published_command_parses():
+    """The reference's published expand_diff.sh invocation — including the
+    vestigial --gradient_checkpointing flag it passes
+    (/root/reference/scripts/exps/expand_diff.sh:19-24) — must parse
+    unchanged. The compat group accepts-and-ignores flags the TPU path
+    subsumes (docs/migration.md)."""
+    from distdiff_tpu.cli import generate_data as cli_gen
+
+    args = cli_gen.parse_args([
+        "--guidance_type=transform_guidance", "-a", "resnet50",
+        "-d", "caltech-101",
+        "--output_dir", "data/caltech-101_expansion/save/distdiff_batch_5x",
+        "--pretrained_model_name_or_path",
+        "CompVis/stable-diffusion-v1-4",
+        "--gradient_checkpointing", "--K", "3", "--train_batch_size", "1",
+        "--optimize_targets", "global_prototype-local_prototype",
+        "--strength", "0.5", "--num_images_per_prompt", "5",
+        "--guidance_step", "20", "--guidance_period", "2",
+        "--encoder_weight_path", "checkpoint/x/model_best.pth.tar",
+        "--guidance_scale", "7.5", "--constraint_value", "0.2",
+        "--rho", "10.0", "--total_split", "4", "--split", "2",
+        # other vestigial flags users commonly carry over:
+        "--enable_xformers_memory_efficient_attention",
+        "--mixed_precision", "fp16", "--allow_tf32",
+        "--local_rank", "0", "--report_to", "tensorboard",
+        "--gradient_accumulation_steps", "2",
+        "--dataloader_num_workers", "4",
+    ])
+    assert args.guidance_type == "transform_guidance"
+    assert args.split == 2 and args.total_split == 4
+    assert args.gradient_checkpointing  # accepted, logged, ignored
+    cli_gen._warn_compat_flags(args)  # must not raise
