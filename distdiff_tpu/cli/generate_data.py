@@ -1,6 +1,9 @@
 """Guided dataset expansion CLI — the reference's ``generate_data.py`` role
-with its live flag vocabulary (``generate_data.py:164-639``; the ~40
-vestigial DreamBooth flags are dropped deliberately).
+with its FULL flag vocabulary (``generate_data.py:164-639``): every live
+flag is implemented, every vestigial DreamBooth flag (the reference forked
+its CLI from the diffusers DreamBooth trainer) is accepted as a logged
+no-op, and defaults match the reference's — so any published command line
+runs unchanged (docs/migration.md).
 
 Pipeline: load SD weights (converted diffusers checkpoint; random init with
 a loud warning otherwise) -> SDDataset with text-embed + VAE-latent caching
@@ -38,7 +41,7 @@ def _str2bool(v: str) -> bool:
     raise argparse.ArgumentTypeError(f"expected true/false, got {v!r}")
 
 
-def parse_args(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description="DistDiff-style guided expansion")
     add_dataset_args(p)
     p.add_argument("--pretrained_model_name_or_path", type=str,
@@ -58,9 +61,12 @@ def parse_args(argv=None):
                    help="previously converted/saved params (orbax dir)")
     p.add_argument("--arch", "-a", type=str, default="open_clip_vit_b32")
     p.add_argument("--encoder_weight_path", type=str, default=None)
-    p.add_argument("--guidance_type", type=str, default="transform_guidance",
-                   choices=["transform_guidance", "direct_guidance", "none"])
-    p.add_argument("--constraint_value", type=float, default=0.2)
+    p.add_argument("--guidance_type", type=str, default=None,
+                   choices=["transform_guidance", "direct_guidance", "none"],
+                   help="default: unguided expansion, as in the reference "
+                        "(its default None takes neither guidance branch, "
+                        "generate_data.py:1203-1210)")
+    p.add_argument("--constraint_value", type=float, default=0.8)
     p.add_argument("--steps", type=int, default=None,
                    help="DDIM steps (the reference parses but hardcodes 50, "
                         "generate_data.py:217,1043 — here the flag is live; "
@@ -81,27 +87,35 @@ def parse_args(argv=None):
                    help="down level the cache cuts below (0 = shallowest "
                         "= fastest)")
     p.add_argument("--K", type=int, default=3)
-    p.add_argument("--guidance_step", type=int, default=20)
-    p.add_argument("--guidance_period", type=int, default=2)
-    p.add_argument("--total_split", type=int, default=1)
+    p.add_argument("--guidance_step", type=int, default=1)
+    p.add_argument("--guidance_period", type=int, default=1)
+    p.add_argument("--total_split", type=int, default=1,
+                   help="deliberate default divergence: the reference "
+                        "defaults to 8 because its launcher always fans one "
+                        "process per GPU; here one process drives the whole "
+                        "mesh, so the only sane default is all the work")
     p.add_argument("--split", type=int, default=0)
-    p.add_argument("--num_images_per_prompt", type=int, default=5)
+    p.add_argument("--num_images_per_prompt", type=int, default=4)
     p.add_argument("--first_image_index", type=int, default=0)
-    p.add_argument("--optimize_targets", type=str,
-                   default="global_prototype-local_prototype",
-                   help="'-'-separated subset of global_prototype,local_prototype")
+    p.add_argument("--optimize_targets", type=str, default=None,
+                   help="'-'-separated subset of global_prototype,"
+                        "local_prototype; default: both when guided (the "
+                        "reference's None default crashes its guided path "
+                        "— we fall back instead)")
     p.add_argument("--rho", type=float, default=10.0)
     p.add_argument("--gs", type=float, default=1.0)
     p.add_argument("--ls", type=float, default=1.0)
-    p.add_argument("--strength", type=float, default=0.5)
+    p.add_argument("--strength", type=float, default=0.9,
+                   help="img2img noising strength (reference default 0.9; "
+                        "the published recipe passes 0.5)")
     p.add_argument("--language_enhance", "-le", action="store_true")
     p.add_argument("--text_to_img", action="store_true")
     p.add_argument("--offset_noise", action="store_true",
                    help="add 0.1x per-channel offset to the img2img noise "
                         "(generate_data.py:1164-1168)")
-    p.add_argument("--output_dir", type=str, required=True)
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--train_batch_size", type=int, default=1,
+    p.add_argument("--output_dir", type=str, default="data_expand")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--train_batch_size", type=int, default=2,
                    help="per-device batch size")
     p.add_argument("--guidance_scale", type=float, default=7.5)
     # The reference declares this flag `type=bool` (generate_data.py:452-457)
@@ -157,7 +171,59 @@ def parse_args(argv=None):
                         help="no-op in generation (as in the reference)")
     compat.add_argument("--dataloader_num_workers", type=int, default=0,
                         help="no-op: host prep is pipelined by the driver")
-    return p.parse_args(argv)
+    # The remaining dead DreamBooth-trainer flags (the reference parses them
+    # at generate_data.py:164-639 but its generation path never reads them).
+    # Hidden from --help to keep it readable; the group description above
+    # plus docs/migration.md document the policy.
+    for name in _DEAD_STORE_TRUE:
+        compat.add_argument("--" + name, action="store_true",
+                            help=argparse.SUPPRESS)
+    for name, typ in _DEAD_VALUE:
+        compat.add_argument("--" + name, type=typ, default=None,
+                            help=argparse.SUPPRESS)
+    compat.add_argument("--validation_images", nargs="+", default=None,
+                        help=argparse.SUPPRESS)
+    return p
+
+
+def parse_args(argv=None):
+    args = build_parser().parse_args(argv)
+    # Reference-default normalization: its default guidance_type None takes
+    # neither guidance branch (generate_data.py:1203-1210) == our "none";
+    # its optimize_targets None CRASHES its guided path, so when guided we
+    # fall back to both prototype energies instead.
+    if args.guidance_type is None:
+        args.guidance_type = "none"
+    if args.optimize_targets is None:
+        args.optimize_targets = "global_prototype-local_prototype"
+    return args
+
+
+_DEAD_STORE_TRUE = (
+    "center_crop", "random_flip", "with_prior_preservation",
+    "train_text_encoder", "scale_lr", "use_8bit_adam",
+    "pre_compute_text_embeddings", "text_encoder_use_attention_mask",
+    "skip_save_text_encoder", "set_grads_to_none",
+)
+
+_DEAD_VALUE = (
+    ("cache_dir", str), ("caption_column", str), ("checkpointing_steps", int),
+    ("checkpoints_total_limit", int), ("class_data_dir", str),
+    ("class_labels_conditioning", str), ("class_prompt", str),
+    ("dataset_config_name", str), ("dataset_name", str),
+    ("image_column", str), ("instance_data_dir", str),
+    ("instance_prompt", str), ("logging_dir", str),
+    ("lr_num_cycles", int), ("lr_power", float), ("lr_scheduler", str),
+    ("lr_warmup_steps", int), ("max_grad_norm", float),
+    ("max_train_samples", int), ("max_train_steps", int),
+    ("num_class_images", int), ("num_train_epochs", int),
+    ("prior_generation_precision", str), ("prior_loss_weight", float),
+    ("resume_from_checkpoint", str), ("revision", str),
+    ("sample_batch_size", int), ("snr_gamma", float),
+    ("tokenizer_max_length", int), ("tokenizer_name", str),
+    ("train_data_dir", str), ("val_batch_size", int),
+    ("validation_scheduler", str), ("variant", str),
+)
 
 
 _COMPAT_IGNORED = (
@@ -169,7 +235,9 @@ _COMPAT_IGNORED = (
     ("report_to", None),
     ("gradient_accumulation_steps", 1),
     ("dataloader_num_workers", 0),
-)
+    ("validation_images", None),
+) + tuple((name, False) for name in _DEAD_STORE_TRUE) \
+  + tuple((name, None) for name, _ in _DEAD_VALUE)
 
 
 def _warn_compat_flags(args) -> None:

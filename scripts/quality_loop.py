@@ -154,6 +154,10 @@ def run_expansion(args, guidance_type: str, out_dir: str,
         "--guidance_period", str(args.guidance_period), "--K", str(args.K),
         "--num_images_per_prompt", str(args.num_images_per_prompt),
         "--train_batch_size", "1",
+        # the calibrated recipes (docs/quality_loop_v5e_r4.md) were measured
+        # at constraint 0.2 — pin it, since the CLI default now matches the
+        # reference's 0.8
+        "--constraint_value", "0.2",
         "--strength", str(args.strength),
         "--guidance_scale", str(args.guidance_scale),
         "--output_dir", out_dir, "--seed", "0",

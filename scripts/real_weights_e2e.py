@@ -80,6 +80,11 @@ def main():
         "--sd_checkpoint", args.ckpt,
         "-a", "resnet50",
         "--guidance_type", "transform_guidance",
+        # pin the published recipe explicitly (the CLI defaults now match
+        # the reference's, i.e. guidance_step 1 / period 1 / strength 0.9)
+        "--guidance_step", "20", "--guidance_period", "2",
+        "--strength", "0.5", "--constraint_value", "0.2",
+        "--optimize_targets", "global_prototype-local_prototype",
         "--num_images_per_prompt", str(args.num_images_per_prompt),
         "--train_batch_size", str(args.batch),
         "--max_units", str(args.max_units),

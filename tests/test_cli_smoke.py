@@ -225,3 +225,51 @@ def test_reference_published_command_parses():
     assert args.split == 2 and args.total_split == 4
     assert args.gradient_checkpointing  # accepted, logged, ignored
     cli_gen._warn_compat_flags(args)  # must not raise
+
+
+def test_reference_flag_superset():
+    """Every --flag the reference's generate_data.py parses (live OR dead
+    DreamBooth scaffolding, /root/reference/generate_data.py:164-639) must
+    be accepted by our parser — the drop-in guarantee of docs/migration.md.
+    """
+    import re
+
+    ref = "/root/reference/generate_data.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not on disk")
+    from distdiff_tpu.cli import generate_data as cli_gen
+
+    with open(ref) as f:
+        src = f.read()
+    ref_flags = set()
+    for m in re.finditer(r"add_argument\(\s*((?:[\"']-{1,2}[A-Za-z0-9_\-]+"
+                         r"[\"']\s*,?\s*)+)", src):
+        ref_flags.update(re.findall(r"[\"'](-{1,2}[A-Za-z0-9_\-]+)[\"']",
+                                    m.group(1)))
+    assert len(ref_flags) > 70, "reference flag extraction broke"
+    ours = {opt for act in cli_gen.build_parser()._actions
+            for opt in act.option_strings}
+    missing = sorted(ref_flags - ours)
+    assert not missing, f"reference flags we do not accept: {missing}"
+
+
+def test_reference_default_parity():
+    """Running with NO flags must mean what it means in the reference:
+    unguided expansion (its guidance_type default None takes neither branch
+    at generate_data.py:1203-1210), seed 42, batch 2, 4 images/prompt,
+    strength 0.9, constraint 0.8, output_dir data_expand. The one deliberate
+    divergence is --total_split (1 = whole mesh, vs 8 = the reference's
+    8-process launcher assumption)."""
+    from distdiff_tpu.cli import generate_data as cli_gen
+
+    args = cli_gen.parse_args([])
+    assert args.guidance_type == "none"  # normalized from None
+    assert args.optimize_targets == "global_prototype-local_prototype"
+    assert args.seed == 42
+    assert args.train_batch_size == 2
+    assert args.num_images_per_prompt == 4
+    assert args.guidance_step == 1 and args.guidance_period == 1
+    assert args.strength == 0.9
+    assert args.constraint_value == 0.8
+    assert args.output_dir == "data_expand"
+    assert args.total_split == 1 and args.split == 0  # documented divergence
