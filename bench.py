@@ -312,6 +312,15 @@ def main():
                                  deep_cache=args.deep_cache,
                                  cache_interval=args.cache_interval,
                                  guidance_type=args.guidance_type)
+    # A short --steps plan (or low strength) can clamp the guidance window
+    # out of the executed range — reference-parity silent-unguided behavior
+    # (pipeline._clamp_window). Label the metric honestly when that happens.
+    window_clamped = not pipe.guidance_active()
+    if window_clamped:
+        print("WARNING: guidance window falls before the img2img start "
+              "index under this step plan/strength — this run is "
+              "effectively UNGUIDED (reference-parity clamp; see "
+              "sampling/pipeline.py:_clamp_window)", file=sys.stderr)
     if not args.fp32_params:
         from distdiff_tpu.sampling.pipeline import cast_params_bf16
 
@@ -390,6 +399,8 @@ def main():
         metric += f" [steps={args.steps}]"
     if args.deep_cache:
         metric += f" [deepcache@{args.cache_interval}]"
+    if window_clamped:
+        metric += " [guidance window clamped: UNGUIDED]"
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 4),

@@ -342,6 +342,28 @@ class ExpansionPipeline:
             p["guide"] = self.guide.variables
         return p
 
+    def guidance_active(self, text_to_img: bool = False) -> bool:
+        """Whether the guidance window survives clamping to the img2img
+        start index under this pipeline's step plan / strength.
+
+        The reference silently produces unguided samples when the window
+        falls before the first executed step (``generate_data.py:1190-1215``
+        — e.g. ``--strength 0.3`` with the default guidance_step, or a
+        short ``--steps`` plan). We keep that parity in the hot path but
+        expose the fact so callers (bench.py, CLIs) can label the run
+        honestly instead of reporting a "guided" metric that never ran
+        the guide leg."""
+        gcfg = self.guidance_cfg
+        if gcfg.guidance_type not in ("transform_guidance",
+                                      "direct_guidance"):
+            return False
+        start = 0 if text_to_img else img2img_start_index(
+            self.sched, self.strength)
+        g0, g1 = guidance_window(self.sched, gcfg.guidance_step,
+                                 gcfg.guidance_period)
+        guided, _ = _clamp_window(gcfg.guidance_type, start, g0, g1)
+        return guided
+
     def make_split_expand(
         self, text_to_img: bool = False, mesh=None,
         guide_chunk: Optional[int] = None,

@@ -158,3 +158,42 @@ def test_generator_probe_handles_matching_class_names(tmp_path):
     row = gp.probe(str(tmp_path / "train"), str(tmp_path / "gen"))
     assert np.isfinite(row["color_bias"])
     assert np.isfinite(row["diversity"])
+
+
+def test_guidance_active_reports_window_clamp():
+    """pipeline.guidance_active(): honest labeling of silently-unguided
+    runs (the reference clamps the guidance window to the img2img start
+    and says nothing — generate_data.py:1190-1215; bench.py now tags the
+    metric when that happens)."""
+    from distdiff_tpu.config import GuidanceConfig, PipelineConfig
+    from distdiff_tpu.models.guide import create_model
+    from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
+
+    guide = create_model("tiny_resnet", num_classes=3, input_size=32,
+                         lazy_init=True)
+    rng = np.random.RandomState(0)
+    gp = rng.randn(3, guide.feature_dim).astype(np.float32)
+    lp = rng.randn(3, 2, guide.feature_dim).astype(np.float32)
+
+    def make(gtype, strength):
+        return ExpansionPipeline.create(
+            PipelineConfig.tiny(sample_size=32),
+            sampler_cfg=SamplerConfig(guidance_scale=3.0),
+            guidance_cfg=GuidanceConfig(
+                guidance_type=gtype, guidance_step=4, guidance_period=2,
+                K=2, guide_input_size=32),
+            guide=guide, global_protos=gp, local_protos=lp,
+            strength=strength, lazy_params=True,
+        )
+
+    # tiny plan: 10 steps, window [6, 8). strength 0.5 -> start 5: active.
+    assert make("transform_guidance", 0.5).guidance_active()
+    assert make("direct_guidance", 0.5).guidance_active()
+    # strength 0.3 -> start 7 > g0=6: transform's single trigger is
+    # skipped (unguided); direct still runs the surviving [7, 8) step.
+    assert not make("transform_guidance", 0.3).guidance_active()
+    assert make("direct_guidance", 0.3).guidance_active()
+    # no-guidance type never counts as active
+    assert not make("none", 0.5).guidance_active()
+    # text_to_img starts at 0: never clamped
+    assert make("transform_guidance", 0.3).guidance_active(text_to_img=True)
