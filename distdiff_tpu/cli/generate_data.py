@@ -347,6 +347,18 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
         pipe.params["unet"] = merge_lora(pipe.params["unet"], lora, alpha)
         log.info("merged LoRA adapter %s (alpha=%g, %d leaves)",
                  args.lora, alpha, len(lora))
+    if (gcfg.guidance_type in ("transform_guidance", "direct_guidance")
+            and not pipe.guidance_active(text_to_img=args.text_to_img)):
+        # The reference silently produces unguided samples in this regime
+        # (its hot loop never visits the window's step indices,
+        # generate_data.py:1190-1215). Same behavior, but say so.
+        log.warning(
+            "guidance window (guidance_step=%d from the end of a %d-step "
+            "plan) falls before the strength-%.2f img2img start index — "
+            "outputs will be UNGUIDED (reference-parity clamp; raise "
+            "--strength or --steps, or lower --guidance_step)",
+            gcfg.guidance_step, config.num_inference_steps, args.strength,
+        )
     return pipe
 
 
