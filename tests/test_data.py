@@ -126,6 +126,110 @@ def test_oxford_flowers_loader(tmp_path):
     assert ds.classnames[0] == "flower 0"
 
 
+def _cifar100_names():
+    return [f"cls{i:03d}" for i in range(100)]
+
+
+def test_cifar100_subset_pickle_branch(tmp_path):
+    """Pickle branch: test split from the torchvision cifar-100-python
+    download (dataloader.py:132-165), train from the class-dir subset tree."""
+    import pickle
+
+    data_root = tmp_path / "data"
+    names = _cifar100_names()
+    pkl = data_root / "cifar-100-python"
+    pkl.mkdir(parents=True)
+    with open(pkl / "meta", "wb") as f:
+        pickle.dump({"fine_label_names": names}, f)
+    n_test = 7
+    test_images = np.arange(n_test * 3072, dtype=np.uint8).reshape(n_test, 3072) % 255
+    with open(pkl / "test", "wb") as f:
+        pickle.dump({"data": test_images.tolist(),
+                     "fine_labels": list(range(n_test))}, f)
+    root = data_root / "cifar100_subset"
+    for ci, name in enumerate(names):
+        n = 2 if ci < 2 else 1
+        for k in range(n):
+            _write_img(str(root / name / f"im{k}.png"), (ci % 255, 0, 0), size=(32, 32))
+    ds = load_dataset("cifar100_subset", None, eval_transform(32),
+                      data_root=str(data_root))
+    assert ds.num_classes == 100
+    assert len(ds.train) == 2 * 2 + 98
+    assert len(ds.test) == n_test
+    assert ds.classnames == [n.replace("_", " ") for n in names]
+    img, label = ds.test[3]
+    assert img.shape == (32, 32, 3) and label == 3
+    # pickle rows are CHW-flattened uint8; check the reshape/transpose orientation
+    raw = test_images[3].reshape(3, 32, 32).transpose(1, 2, 0)
+    assert np.asarray(ds.test.images[3]).shape == raw.shape
+
+
+def test_cifar100_subset_fallback_tree(tmp_path):
+    """No cifar-100-python pickles: classnames from the train tree, test from
+    the optional cifar100_subset_test sibling dir (or empty)."""
+    data_root = tmp_path / "data"
+    root = data_root / "cifar100_subset"
+    names = ["apple", "bear", "wolf_cub"]
+    for ci, name in enumerate(names):
+        _write_img(str(root / name / "a.png"), (ci, ci, ci))
+    ds = load_dataset("cifar100_subset", None, None, data_root=str(data_root))
+    assert ds.classnames == ["apple", "bear", "wolf cub"]
+    assert len(ds.train) == 3 and len(ds.test) == 0
+    # now with the sibling test tree
+    for name in names:
+        _write_img(str(data_root / "cifar100_subset_test" / name / "t.png"), (9, 9, 9))
+    ds2 = load_dataset("cifar100_subset", None, None, data_root=str(data_root))
+    assert len(ds2.test) == 3
+
+
+@pytest.fixture
+def cars_tree(tmp_path):
+    """Stanford-cars devkit .mat fixture written with scipy.savemat, matching
+    the structures the reference parses (dataloader.py:167-228): annotations
+    as a struct array with fname/class fields, cars_meta as a char-cell row."""
+    from scipy import io as sio
+
+    data_root = tmp_path / "data"
+    root = data_root / "stanford_cars"
+    (root / "devkit").mkdir(parents=True)
+    # 196 names in "Make Model Year" order; loader must move year to front
+    meta_names = [f"Make{i:03d} Model {1990 + (i % 30)}" for i in range(196)]
+    sio.savemat(str(root / "devkit" / "cars_meta.mat"),
+                {"class_names": np.array([meta_names], dtype=object)})
+
+    def write_annos(path, image_dir, entries):
+        ann = np.zeros((len(entries),), dtype=[("fname", "O"), ("class", "O")])
+        for i, (fname, label1) in enumerate(entries):
+            ann[i] = (fname, float(label1))
+            _write_img(str(root / image_dir / fname), (label1 % 255, 0, 0))
+        sio.savemat(path, {"annotations": ann.reshape(1, -1)})
+
+    # the real devkit's train annos cover all 196 classes (the assert at
+    # dataloader.py:208 relies on it); one image per class + an extra class-1
+    write_annos(str(root / "devkit" / "cars_train_annos.mat"), "cars_train",
+                [(f"tr{k}.jpg", k + 1) for k in range(196)] + [("trx.jpg", 1)])
+    write_annos(str(root / "cars_test_annos_withlabels.mat"), "cars_test",
+                [("te0.jpg", 2), ("te1.jpg", 196)])
+    return str(data_root)
+
+
+def test_stanford_cars_loader(cars_tree):
+    ds = load_dataset("stanford_cars", None, eval_transform(32),
+                      data_root=cars_tree)
+    assert ds.num_classes == 196
+    assert len(ds.train) == 197 and len(ds.test) == 2
+    # year-first reorder, label-sorted (dataloader.py:186-196)
+    assert ds.classnames[0] == "1990 Make000 Model"
+    assert ds.classnames[195] == f"{1990 + (195 % 30)} Make195 Model"
+    # labels are the 0-based .mat classes
+    _, label = ds.train[195]
+    assert label == 195
+    _, te_label = ds.test[0]
+    assert te_label == 1
+    img, _ = ds.test[1]
+    assert img.shape == (32, 32, 3)
+
+
 def test_expanded_tree_reader(tmp_path):
     root = tmp_path / "expanded"
     for cls in ["cat", "dog"]:
