@@ -32,7 +32,8 @@ import numpy as np
 
 def build(preset: str, batch: int, scheduler: str = "ddim",
           steps: int = None, deep_cache: bool = False,
-          cache_interval: int = 3, guidance_type: str = "transform_guidance"):
+          cache_interval: int = 3, guidance_type: str = "transform_guidance",
+          int8: bool = False, step_in_plan: bool = False):
     import dataclasses
 
     from distdiff_tpu.config import GuidanceConfig, PipelineConfig
@@ -63,6 +64,8 @@ def build(preset: str, batch: int, scheduler: str = "ddim",
 
     if guidance_type != "transform_guidance":
         gcfg = dataclasses.replace(gcfg, guidance_type=guidance_type)
+    if step_in_plan:
+        gcfg = dataclasses.replace(gcfg, step_in_plan=True)
     if scheduler != "ddim":
         config = dataclasses.replace(config, scheduler=scheduler)
     if steps is not None:
@@ -72,6 +75,8 @@ def build(preset: str, batch: int, scheduler: str = "ddim",
     if deep_cache:
         config = dataclasses.replace(config, deep_cache=True,
                                      cache_interval=cache_interval)
+    if int8:
+        config = dataclasses.replace(config, int8=True)
     rng = np.random.RandomState(0)
     gp = rng.randn(guide.num_classes, guide.feature_dim).astype(np.float32)
     lp = rng.randn(guide.num_classes, gcfg.K, guide.feature_dim).astype(np.float32)
@@ -99,7 +104,8 @@ def build(preset: str, batch: int, scheduler: str = "ddim",
 
 
 def build_sdxl_guided(batch: int, sample_size: int,
-                      guidance_type: str = "transform_guidance"):
+                      guidance_type: str = "transform_guidance",
+                      int8: bool = False):
     """SDXL-base GUIDED expansion (beyond-reference flagship recipe): the
     DistDiff transform_guidance img2img loop on the SDXL geometry — DDIM-50,
     strength 0.5, CFG, guidance through 2 UNet forwards + 1024^2 VAE decode
@@ -115,6 +121,10 @@ def build_sdxl_guided(batch: int, sample_size: int,
     from distdiff_tpu.sampling.pipeline import _unet_init_args
 
     config = PipelineConfig.sdxl_base(sample_size=sample_size)
+    if int8:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, int8=True)
     guide = create_model("resnet50", num_classes=100, input_size=224,
                          lazy_init=True)
     rng = np.random.RandomState(0)
@@ -242,6 +252,14 @@ def main():
                    help="DeepCache datapoint (approximate; NOT the "
                         "official metric)")
     p.add_argument("--cache_interval", type=int, default=3)
+    p.add_argument("--guidance_step_in_plan", action="store_true",
+                   help="shift the guidance window into short step plans "
+                        "instead of the reference's silent unguided clamp "
+                        "(pipeline._clamp_window step_in_plan)")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 int8 UNet denoise spans (ops/quant.py; "
+                        "guidance steps stay exact bf16; approximate, "
+                        "NOT the official metric)")
     p.add_argument("--guidance_type", default="transform_guidance",
                    choices=["transform_guidance", "direct_guidance"],
                    help="the official metric is transform_guidance; "
@@ -305,17 +323,26 @@ def main():
 
     if args.preset == "sdxl_guided":
         pipe, bench_args = build_sdxl_guided(args.batch, args.sdxl_size,
-                                             guidance_type=args.guidance_type)
+                                             guidance_type=args.guidance_type,
+                                             int8=args.int8)
     else:
         pipe, bench_args = build(args.preset, args.batch,
                                  scheduler=args.scheduler, steps=args.steps,
                                  deep_cache=args.deep_cache,
                                  cache_interval=args.cache_interval,
-                                 guidance_type=args.guidance_type)
+                                 guidance_type=args.guidance_type,
+                                 int8=args.int8,
+                                 step_in_plan=args.guidance_step_in_plan)
     # A short --steps plan (or low strength) can clamp the guidance window
     # out of the executed range — reference-parity silent-unguided behavior
     # (pipeline._clamp_window). Label the metric honestly when that happens.
-    window_clamped = not pipe.guidance_active()
+    # Guard on the CONFIGURED type: guidance_active() is also False for a
+    # deliberately-unguided pipeline ("none"), which must not be tagged as
+    # "clamped" (argparse currently forbids it here, but keep the check
+    # type-driven like cli/generate_data.py's).
+    wants_guidance = pipe.guidance_cfg.guidance_type in (
+        "transform_guidance", "direct_guidance")
+    window_clamped = wants_guidance and not pipe.guidance_active()
     if window_clamped:
         print("WARNING: guidance window falls before the img2img start "
               "index under this step plan/strength — this run is "
@@ -391,7 +418,8 @@ def main():
     }[args.preset]
     official = (args.preset in ("sd15", "tiny")
                 and args.scheduler == "ddim" and args.steps is None
-                and not args.deep_cache
+                and not args.deep_cache and not args.int8
+                and not args.guidance_step_in_plan
                 and args.guidance_type == "transform_guidance")
     if args.scheduler != "ddim":
         metric += f" [{args.scheduler}]"
@@ -399,6 +427,10 @@ def main():
         metric += f" [steps={args.steps}]"
     if args.deep_cache:
         metric += f" [deepcache@{args.cache_interval}]"
+    if args.int8:
+        metric += " [int8 spans]"
+    if args.guidance_step_in_plan:
+        metric += " [window shifted in-plan]"
     if window_clamped:
         metric += " [guidance window clamped: UNGUIDED]"
     print(json.dumps({

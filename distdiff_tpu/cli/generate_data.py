@@ -86,15 +86,31 @@ def build_parser():
     p.add_argument("--cache_branch", type=int, default=0,
                    help="down level the cache cuts below (0 = shallowest "
                         "= fastest)")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 int8 UNet denoise spans (ops/quant.py; "
+                        "beyond-reference, approximate — 2x int8 MXU peak "
+                        "on v5e; guidance steps stay exact bf16)")
     p.add_argument("--K", type=int, default=3)
     p.add_argument("--guidance_step", type=int, default=1)
     p.add_argument("--guidance_period", type=int, default=1)
+    p.add_argument("--guidance_step_in_plan", action="store_true",
+                   help="beyond-reference: shift a guidance window that "
+                        "falls before the img2img start into the executed "
+                        "span (short --steps plans stay guided) instead of "
+                        "the reference's silent unguided clamp")
     p.add_argument("--total_split", type=int, default=1,
                    help="deliberate default divergence: the reference "
                         "defaults to 8 because its launcher always fans one "
                         "process per GPU; here one process drives the whole "
                         "mesh, so the only sane default is all the work")
     p.add_argument("--split", type=int, default=0)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel group size: shard each UNet's "
+                        "transformer weights Megatron-style over this many "
+                        "chips (data x model mesh, parallel/tp.py). Use for "
+                        "HBM-starved recipes (SDXL-guided) where one chip "
+                        "cannot hold the guidance backward; must divide the "
+                        "device count. Default 1 = pure data parallelism")
     p.add_argument("--num_images_per_prompt", type=int, default=4)
     p.add_argument("--first_image_index", type=int, default=0)
     p.add_argument("--optimize_targets", type=str, default=None,
@@ -286,6 +302,8 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
         config = dataclasses.replace(
             config, deep_cache=True, cache_interval=args.cache_interval,
             cache_branch=args.cache_branch)
+    if getattr(args, "int8", False):
+        config = dataclasses.replace(config, int8=True)
 
     params = None
     if args.params_path:
@@ -320,6 +338,7 @@ def build_pipeline(args, guide=None, global_protos=None, local_protos=None):
         K=args.K,
         optimize_targets=tuple(args.optimize_targets.split("-")),
         guide_input_size=guide_input,
+        step_in_plan=getattr(args, "guidance_step_in_plan", False),
     )
     pipe = ExpansionPipeline.create(
         config,
@@ -495,15 +514,27 @@ def main(argv=None):
         pipe.global_protos = jnp.asarray(gp)
         pipe.local_protos = jnp.asarray(lp)
 
-    from distdiff_tpu.parallel import make_mesh
+    from distdiff_tpu.parallel.mesh import make_expand_mesh
 
-    mesh = make_mesh()
+    mesh = make_expand_mesh(args.mesh_model)
+    param_shardings = None
+    if args.mesh_model > 1:
+        # tensor-parallel expansion: Megatron col/row specs on the UNet
+        # transformer Denses, everything else replicated; the Pallas flash
+        # kernel runs shard_map'd per (batch, head) block (ops/attention).
+        from distdiff_tpu.ops.attention import set_tp_attention
+        from distdiff_tpu.parallel.tp import unet_param_shardings
+
+        param_shardings = unet_param_shardings(mesh, pipe.full_params())
+        set_tp_attention(mesh)
+        log.info("tensor-parallel expansion: mesh %s", dict(mesh.shape))
     if args.fused_program:
         expand_fn = pipe.make_expand_fn(text_to_img=args.text_to_img)
         prejitted = False
     else:
         expand_fn = pipe.make_split_expand(
-            text_to_img=args.text_to_img, mesh=mesh
+            text_to_img=args.text_to_img, mesh=mesh,
+            param_shardings=param_shardings,
         )
         prejitted = True
     driver = ExpansionDriver(
@@ -515,6 +546,7 @@ def main(argv=None):
         seed=args.seed,
         mesh=mesh,
         prejitted=prejitted,
+        param_shardings=param_shardings,
     )
     stats = driver.run(
         num_images_per_prompt=args.num_images_per_prompt,

@@ -217,6 +217,10 @@ class PipelineConfig:
     deep_cache: bool = False
     cache_interval: int = 3
     cache_branch: int = 0
+    # int8 w8a8 UNet denoise spans (ops/quant.py): opt-in approximate
+    # acceleration for the v5e's 2x int8 MXU peak, never the parity
+    # default. Guidance steps and the VAE stay exact bf16.
+    int8: bool = False
 
     @property
     def vae_scale_factor(self) -> int:
@@ -316,6 +320,12 @@ class GuidanceConfig:
     # The reference L2-normalizes features in direct_guidance but NOT in
     # transform_guidance (generate_data.py:705 vs :747) — kept as a flag.
     normalize_features: Optional[bool] = None
+    # Beyond-reference --guidance_step_in_plan: when the window (counted
+    # from the end of the FULL plan, generate_data.py:1178-1180) falls
+    # before the img2img start index, SHIFT it to the first executed step
+    # instead of the reference's silent unguided clamp. Default False =
+    # exact reference parity.
+    step_in_plan: bool = False
     # Guide-encoder input resolution (224 bicubic in the reference,
     # generate_data.py:704; smaller for CPU-runnable test configs).
     guide_input_size: int = 224

@@ -52,6 +52,18 @@ def _use_pallas() -> bool:
 _TP_CTX = {"mesh": None, "data_axis": None, "model_axis": None}
 
 
+def set_tp_attention(mesh, data_axis: str = "data",
+                     model_axis: str = "model") -> None:
+    """Persistent (process-lifetime) variant of ``tp_sharded_attention``
+    for CLI drivers whose jitted programs trace lazily at first dispatch —
+    a ``with`` block around construction would have exited by then. Pass
+    ``mesh=None`` to reset."""
+    if mesh is None:
+        _TP_CTX.update(mesh=None, data_axis=None, model_axis=None)
+    else:
+        _TP_CTX.update(mesh=mesh, data_axis=data_axis, model_axis=model_axis)
+
+
 @contextlib.contextmanager
 def tp_sharded_attention(mesh, data_axis: str = "data",
                          model_axis: str = "model"):

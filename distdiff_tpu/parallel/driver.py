@@ -56,10 +56,16 @@ class ExpansionDriver:
         mesh=None,
         writer_threads: int = 4,
         prejitted: bool = False,
+        param_shardings=None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
-        self.global_batch = per_device_batch * self.n_devices
+        # Batch shards over the 'data' axis only; on a 2-D data x model
+        # mesh (tensor-parallel expansion) each model group of n_model
+        # chips cooperates on one data shard, so the global batch scales
+        # with the data-axis size, not the chip count.
+        self.n_data = dict(self.mesh.shape).get("data", self.n_devices)
+        self.global_batch = per_device_batch * self.n_data
         self.sd = sd_dataset
         self.output_dir = output_dir
         self.seed = seed
@@ -67,6 +73,7 @@ class ExpansionDriver:
 
         shard = data_sharding(self.mesh)
         repl = replicated(self.mesh)
+        psh = param_shardings if param_shardings is not None else repl
         if prejitted:
             # e.g. a SplitExpand built with this mesh — already compiled
             # with the right shardings.
@@ -74,10 +81,10 @@ class ExpansionDriver:
         else:
             self._expand = jax.jit(
                 expand_fn,
-                in_shardings=(repl, shard, shard, shard, shard, shard),
+                in_shardings=(psh, shard, shard, shard, shard, shard),
                 out_shardings=shard,
             )
-        self._params = jax.device_put(params, repl)
+        self._params = jax.device_put(params, psh)
         self._writers = ThreadPoolExecutor(max_workers=writer_threads)
 
     # ------------------------------------------------------------------
@@ -117,9 +124,9 @@ class ExpansionDriver:
         chunks = chunk_units(units, self.global_batch)
         log.info(
             "expansion manifest: %d pending units in %d batches of %d "
-            "(%d devices x %d/device)",
-            len(units), len(chunks), self.global_batch, self.n_devices,
-            self.global_batch // self.n_devices,
+            "(%d data shards x %d/shard, %d devices)",
+            len(units), len(chunks), self.global_batch, self.n_data,
+            self.global_batch // self.n_data, self.n_devices,
         )
 
         t0 = time.time()

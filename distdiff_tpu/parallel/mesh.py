@@ -24,6 +24,23 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_expand_mesh(n_model: int = 1,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """Expansion mesh: the default 1-D ``data`` mesh, or (``n_model > 1``)
+    a 2-D ``data x model`` mesh for tensor-parallel expansion — each model
+    group shards one UNet Megatron-style (parallel/tp.py) so HBM-starved
+    recipes (SDXL-guided batch 2 on a v5e-1) fit by splitting the
+    transformer weights/activations across ``n_model`` chips."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_model <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    from distdiff_tpu.parallel.tp import make_tp_mesh
+
+    assert len(devices) % n_model == 0, (
+        f"--mesh_model {n_model} does not divide {len(devices)} devices")
+    return make_tp_mesh(len(devices) // n_model, n_model, devices=devices)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading batch axis sharded across the data mesh axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -46,7 +46,8 @@ from distdiff_tpu.schedulers import (
 GUIDE_INPUT_SIZE = 224
 
 
-def _clamp_window(guidance_type: str, start: int, g0: int, g1: int):
+def _clamp_window(guidance_type: str, start: int, g0: int, g1: int,
+                  step_in_plan: bool = False, n: Optional[int] = None):
     """Clamp the guidance window to the img2img start index.
 
     The reference's hot loop only visits step indices >= start_index, so a
@@ -55,14 +56,22 @@ def _clamp_window(guidance_type: str, start: int, g0: int, g1: int):
     surviving [max(g0, start), g1) steps) — ``generate_data.py:1190-1215``.
     With e.g. ``--strength 0.3`` and the default guidance_step 20, start=35
     exceeds g0=30 and the reference simply produces an unguided sample.
-    Returns (guided, g0_clamped).
+
+    ``step_in_plan`` (beyond-reference, --guidance_step_in_plan): instead
+    of silently dropping the window, SHIFT it to the first executed step —
+    short solver plans (dpmpp --steps 20) stay guided. Default keeps the
+    reference's clamp for parity. Returns (guided, g0, g1).
     """
+    period = g1 - g0
+    if step_in_plan and g0 < start:
+        g0 = start if n is None else min(start, n - period)
+        return True, g0, g0 + period
     if guidance_type == "transform_guidance":
         if g0 < start:
-            return False, g0
-        return True, g0
+            return False, g0, g1
+        return True, g0, g1
     g0 = max(g0, start)
-    return g0 < g1, g0
+    return g0 < g1, g0, g1
 
 
 @dataclasses.dataclass
@@ -151,8 +160,20 @@ class ExpansionPipeline:
             )
         return self.unet.apply({"params": params["unet"]}, x, t, ctx)
 
-    def eps_fn(self) -> Callable:
+    def eps_fn(self, exact: bool = False) -> Callable:
+        """CFG epsilon closure. With ``config.int8`` the UNet's convs and
+        ff denses run the w8a8 path (ops/quant.py) — approximate, so the
+        guidance leg requests ``exact=True`` and keeps bf16 (as DeepCache
+        keeps its guidance steps exact)."""
         unet_apply = self.unet_apply
+        if getattr(self.config, "int8", False) and not exact:
+            from distdiff_tpu.ops import quant
+
+            def apply_q(p, x, t, ctx):
+                with quant.int8_inference():
+                    return unet_apply(p, x, t, ctx)
+
+            return make_eps_fn(apply_q, self.sampler_cfg)
         return make_eps_fn(
             lambda p, x, t, ctx: unet_apply(p, x, t, ctx), self.sampler_cfg
         )
@@ -161,27 +182,37 @@ class ExpansionPipeline:
         """(eps_full, eps_shallow) for the DeepCache loop
         (sampling/deepcache.py; config.deep_cache). The guidance rollout
         never uses these — its gradient flows through the full denoiser."""
+        import contextlib
+
         from distdiff_tpu.sampling.deepcache import make_cached_eps_fns
 
         branch = self.config.cache_branch
+        if getattr(self.config, "int8", False):  # int8 + deep_cache compose
+            from distdiff_tpu.ops import quant
+
+            _qctx = quant.int8_inference
+        else:
+            _qctx = contextlib.nullcontext
 
         def apply_full(params, x, t, ctx):
-            if isinstance(ctx, dict):
+            with _qctx():
+                if isinstance(ctx, dict):
+                    return self.unet.apply(
+                        {"params": params["unet"]}, x, t, ctx["ctx"],
+                        ctx["add"], return_cache=True, cache_branch=branch)
                 return self.unet.apply(
-                    {"params": params["unet"]}, x, t, ctx["ctx"], ctx["add"],
+                    {"params": params["unet"]}, x, t, ctx,
                     return_cache=True, cache_branch=branch)
-            return self.unet.apply(
-                {"params": params["unet"]}, x, t, ctx,
-                return_cache=True, cache_branch=branch)
 
         def apply_shallow(params, x, t, ctx, cache):
-            if isinstance(ctx, dict):
+            with _qctx():
+                if isinstance(ctx, dict):
+                    return self.unet.apply(
+                        {"params": params["unet"]}, x, t, ctx["ctx"],
+                        ctx["add"], deep_cache=cache, cache_branch=branch)
                 return self.unet.apply(
-                    {"params": params["unet"]}, x, t, ctx["ctx"], ctx["add"],
+                    {"params": params["unet"]}, x, t, ctx,
                     deep_cache=cache, cache_branch=branch)
-            return self.unet.apply(
-                {"params": params["unet"]}, x, t, ctx,
-                deep_cache=cache, cache_branch=branch)
 
         return make_cached_eps_fns(apply_full, apply_shallow,
                                    self.sampler_cfg)
@@ -298,7 +329,7 @@ class ExpansionPipeline:
         remat (UNet keeps nn.remat), the measured ~155ms/step re-forward.
         """
         mode = self.guidance_cfg.rollout_remat
-        eps_fn = self.eps_fn()
+        eps_fn = self.eps_fn(exact=True)  # int8 never inside the guide leg
         decode_fn = lambda p, z: self.guide_decode_fn(p, z)  # noqa: E731
         if mode in ("step_nru", "step_nr"):
             unet_nr = UNet2DCondition(
@@ -361,13 +392,17 @@ class ExpansionPipeline:
             self.sched, self.strength)
         g0, g1 = guidance_window(self.sched, gcfg.guidance_step,
                                  gcfg.guidance_period)
-        guided, _ = _clamp_window(gcfg.guidance_type, start, g0, g1)
+        guided, _, _ = _clamp_window(
+            gcfg.guidance_type, start, g0, g1,
+            step_in_plan=getattr(gcfg, "step_in_plan", False),
+            n=self.sched.num_inference_steps)
         return guided
 
     def make_split_expand(
         self, text_to_img: bool = False, mesh=None,
         guide_chunk: Optional[int] = None,
         decode_chunk: Optional[int] = None,
+        param_shardings=None,
     ) -> "SplitExpand":
         """Expansion hot path as a few separately-compiled programs — much
         faster to compile than the fused ``make_expand_fn`` program (see
@@ -377,9 +412,13 @@ class ExpansionPipeline:
         with each sub-batch sharded over the data axis.
         ``decode_chunk`` bounds the tail denoise+decode span's activation
         memory the same way (single-chip guided path; samples are
-        independent) — SD-2.1 768^2 needs it beyond batch 2 on a v5e-1."""
+        independent) — SD-2.1 768^2 needs it beyond batch 2 on a v5e-1.
+        ``param_shardings``: NamedSharding pytree for the params argument
+        (tensor-parallel expansion over a ``data x model`` mesh,
+        parallel/tp.py); default replicated."""
         return SplitExpand(self, text_to_img=text_to_img, mesh=mesh,
-                           guide_chunk=guide_chunk, decode_chunk=decode_chunk)
+                           guide_chunk=guide_chunk, decode_chunk=decode_chunk,
+                           param_shardings=param_shardings)
 
     # ---- the compiled hot path ----
     def make_expand_fn(self, text_to_img: bool = False) -> Callable:
@@ -399,7 +438,9 @@ class ExpansionPipeline:
         guided = gcfg.guidance_type in ("transform_guidance", "direct_guidance")
         if guided:
             g0, g1 = guidance_window(sched, gcfg.guidance_step, gcfg.guidance_period)
-            guided, g0 = _clamp_window(gcfg.guidance_type, start, g0, g1)
+            guided, g0, g1 = _clamp_window(
+                gcfg.guidance_type, start, g0, g1,
+                step_in_plan=getattr(gcfg, "step_in_plan", False), n=n)
         if guided:
             ctx = self.guidance_context()
 
@@ -524,7 +565,7 @@ class SplitExpand:
 
     def __init__(self, pipe: "ExpansionPipeline", text_to_img: bool = False,
                  mesh=None, guide_chunk: Optional[int] = None,
-                 decode_chunk: Optional[int] = None):
+                 decode_chunk: Optional[int] = None, param_shardings=None):
         """``guide_chunk``: run the guidance update on sub-batches of this
         size (exact — samples are independent in the per-sample energy
         formulation); bounds the guidance backward's HBM footprint so the
@@ -549,8 +590,10 @@ class SplitExpand:
             self.g0, self.g1 = guidance_window(
                 sched, gcfg.guidance_step, gcfg.guidance_period
             )
-            self.guided, self.g0 = _clamp_window(
-                gcfg.guidance_type, self.start, self.g0, self.g1
+            self.guided, self.g0, self.g1 = _clamp_window(
+                gcfg.guidance_type, self.start, self.g0, self.g1,
+                step_in_plan=getattr(gcfg, "step_in_plan", False),
+                n=self.n,
             )
         if self.guided:
             self.ctx = pipe.guidance_context()
@@ -616,19 +659,22 @@ class SplitExpand:
 
             shard = data_sharding(mesh)
             repl = replicated(mesh)
+            # params slot: replicated by default; a sharding pytree under
+            # tensor parallelism (data x model mesh, parallel/tp.py)
+            psh = param_shardings if param_shardings is not None else repl
             self.init_span = jax.jit(
                 init_span_fn,
-                in_shardings=(repl, shard, shard, shard, shard, repl, repl),
+                in_shardings=(psh, shard, shard, shard, shard, repl, repl),
                 out_shardings=shard,
             )
             self.span_decode = jax.jit(
                 span_decode_fn,
-                in_shardings=(repl, shard, shard, shard, repl, repl),
+                in_shardings=(psh, shard, shard, shard, repl, repl),
                 out_shardings=shard,
             )
             self.full = jax.jit(
                 full_fn,
-                in_shardings=(repl, shard, shard, shard, shard, repl, repl),
+                in_shardings=(psh, shard, shard, shard, shard, repl, repl),
                 out_shardings=shard,
             )
         else:
@@ -672,14 +718,14 @@ class SplitExpand:
                     guide_chunk, dict(mesh.shape))
                 self.guide = jax.jit(
                     _make_chunked_guide(guide_body, guide_chunk, mesh),
-                    in_shardings=(repl, shard, shard, shard, shard, shard),
+                    in_shardings=(psh, shard, shard, shard, shard, shard),
                     out_shardings=shard,
                 )
                 self._mesh_chunked = True
             elif mesh is not None:
                 self.guide = jax.jit(
                     guide_body,
-                    in_shardings=(repl, shard, shard, shard, shard, shard),
+                    in_shardings=(psh, shard, shard, shard, shard, shard),
                     out_shardings=shard,
                 )
             else:

@@ -69,6 +69,19 @@ def parse_args(argv=None):
                    help="DDIM steps for the expansions (more steps keep "
                         "the guidance window inside the executed span at "
                         "low --strength)")
+    # fast-mode quality validation (VERDICT r4 #2): run the SAME protocol
+    # with the approximate/alternative generation modes so every shipped
+    # perf number has a paired downstream-accuracy number
+    p.add_argument("--scheduler", default="ddim",
+                   choices=["ddim", "dpmpp"],
+                   help="sampling solver for BOTH expansion arms")
+    p.add_argument("--deep_cache", action="store_true",
+                   help="DeepCache on both expansion arms")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 w8a8 denoise spans on both expansion arms")
+    p.add_argument("--guided_mode", default="transform_guidance",
+                   choices=["transform_guidance", "direct_guidance"],
+                   help="guidance type for the guided arm")
     # fabricated-dataset scale (ignored when --data_root is given)
     p.add_argument("--n_classes", type=int, default=2)
     p.add_argument("--n_train", type=int, default=6)
@@ -165,6 +178,12 @@ def run_expansion(args, guidance_type: str, out_dir: str,
     ]
     if args.steps is not None:
         argv += ["--steps", str(args.steps)]
+    if getattr(args, "scheduler", "ddim") != "ddim":
+        argv += ["--scheduler", args.scheduler]
+    if getattr(args, "deep_cache", False):
+        argv += ["--deep_cache"]
+    if getattr(args, "int8", False):
+        argv += ["--int8"]
     if args.tiny:
         argv += ["--tiny"]
     if args.sd_checkpoint:
@@ -465,7 +484,7 @@ def main(argv=None):
 
     guided_dir = os.path.join(args.workdir, "expanded_guided")
     unguided_dir = os.path.join(args.workdir, "expanded_unguided")
-    run_expansion(args, "transform_guidance", guided_dir,
+    run_expansion(args, args.guided_mode, guided_dir,
                   encoder_weight_path=encoder_path, params_path=params_path)
     run_expansion(args, "none", unguided_dir,
                   encoder_weight_path=encoder_path, params_path=params_path)

@@ -112,6 +112,64 @@ def test_tp_forward_with_pallas_attention(tiny_unet, monkeypatch):
                                atol=2e-4, rtol=2e-4)
 
 
+def _tiny_guided_pipe():
+    from distdiff_tpu.config import GuidanceConfig, PipelineConfig
+    from distdiff_tpu.models.guide import create_model
+    from distdiff_tpu.sampling import ExpansionPipeline, SamplerConfig
+
+    rng = np.random.RandomState(0)
+    config = PipelineConfig.tiny(sample_size=32)
+    guide = create_model("tiny_resnet", num_classes=4, input_size=32)
+    pipe = ExpansionPipeline.create(
+        config,
+        sampler_cfg=SamplerConfig(guidance_scale=3.0),
+        guidance_cfg=GuidanceConfig(
+            guidance_type="transform_guidance", guidance_step=4,
+            guidance_period=2, K=2, guide_input_size=32,
+        ),
+        guide=guide,
+        global_protos=rng.randn(4, guide.feature_dim).astype(np.float32),
+        local_protos=rng.randn(4, 2, guide.feature_dim).astype(np.float32),
+    )
+    b = 4
+    ls = config.latent_size
+    lat = np.asarray(rng.randn(b, ls, ls, 4), np.float32) * 0.2
+    cond = np.asarray(rng.randn(b, 8, 32), np.float32)
+    uncond = np.asarray(rng.randn(b, 8, 32), np.float32)
+    targets = np.arange(b, dtype=np.int32) % 4
+    keys = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(b)])
+    return pipe, (lat, cond, uncond, targets, keys)
+
+
+def test_tp_split_expand_matches_data_parallel():
+    """The reachable TP feature (cli --mesh_model): the full guided
+    SplitExpand path over a 2-D data x model mesh with sharded UNet params
+    must reproduce the 1-D data-mesh (replicated-params) images."""
+    from distdiff_tpu.parallel.mesh import make_expand_mesh
+
+    pipe, (lat, cond, uncond, targets, keys) = _tiny_guided_pipe()
+    params = pipe.full_params()
+
+    mesh_dp = make_expand_mesh(1, devices=jax.devices()[:4])
+    se_dp = pipe.make_split_expand(mesh=mesh_dp)
+    ref = np.asarray(se_dp(params, lat, cond, uncond, targets, keys))
+
+    mesh_tp = make_expand_mesh(2, devices=jax.devices()[:8])
+    assert dict(mesh_tp.shape) == {"data": 4, "model": 2}
+    shardings = unet_param_shardings(mesh_tp, params)
+    se_tp = pipe.make_split_expand(mesh=mesh_tp, param_shardings=shardings)
+    out = np.asarray(se_tp(params, lat, cond, uncond, targets, keys))
+
+    # a transformer kernel is genuinely split across the model axis
+    sharded_leaves = [
+        leaf for path, leaf in
+        jax.tree_util.tree_flatten_with_path(shardings)[0]
+        if any(s is not None for s in leaf.spec)
+    ]
+    assert len(sharded_leaves) >= 4
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
 def test_tp_pallas_grads(tiny_unet, monkeypatch):
     """The guidance path differentiates through attention: the shard_map'd
     kernel's custom VJP must compose with TP sharding."""
