@@ -183,7 +183,7 @@ def build_sdxl_guided(batch: int, sample_size: int,
     return pipe, (params, lat, cond, uncond, targets, keys)
 
 
-def build_sdxl(batch: int, sample_size: int):
+def build_sdxl(batch: int, sample_size: int, int8: bool = False):
     """SDXL-base text-to-image step (no DistDiff guidance — the reference
     recipe is SD-1.x; this preset tracks the framework's flagship-model
     throughput). Returns (sample_fn, args)."""
@@ -191,6 +191,10 @@ def build_sdxl(batch: int, sample_size: int):
     from distdiff_tpu.sampling.sdxl import SDXLPipeline, default_time_ids
 
     config = PipelineConfig.sdxl_base(sample_size=sample_size)
+    if int8:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, int8=True)
     pipe = SDXLPipeline.create(config, lazy_params=True)
     rng = np.random.RandomState(0)
     ls = config.latent_size
@@ -290,7 +294,8 @@ def main():
         assert err < 1e-2
 
     if args.preset == "sdxl":
-        sample, sargs = build_sdxl(args.batch, args.sdxl_size)
+        sample, sargs = build_sdxl(args.batch, args.sdxl_size,
+                                   int8=args.int8)
         t0 = time.time()
         out = sample(*sargs)
         float(jnp.sum(out))  # host VALUE fetch (see guided loop note)
@@ -314,8 +319,9 @@ def main():
         # vs_baseline: the 2.0 north star is the SD-1.5 512^2 guided recipe;
         # no published SDXL baseline exists for this rig, so omit the ratio.
         print(json.dumps({
-            "metric": f"images/sec/chip (SDXL-base DDIM-50 "
-                      f"{args.sdxl_size}^2, CFG t2i)",
+            "metric": (f"images/sec/chip (SDXL-base DDIM-50 "
+                       f"{args.sdxl_size}^2, CFG t2i)"
+                       + (" [int8 spans]" if args.int8 else "")),
             "value": round(ips, 4), "unit": "img/s/chip",
             "vs_baseline": None,
         }))

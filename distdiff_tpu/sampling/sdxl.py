@@ -124,10 +124,19 @@ class SDXLPipeline:
         n = sched.num_inference_steps
 
         def eps_fn(params, x, t, ctx2, add2):
-            out = self.unet.apply(
-                {"params": params["unet"]},
-                jnp.concatenate([x, x], axis=0), t, ctx2, add2,
-            )
+            import contextlib
+
+            if getattr(self.config, "int8", False):  # w8a8 spans (ops/quant)
+                from distdiff_tpu.ops import quant
+
+                qctx = quant.int8_inference
+            else:
+                qctx = contextlib.nullcontext
+            with qctx():
+                out = self.unet.apply(
+                    {"params": params["unet"]},
+                    jnp.concatenate([x, x], axis=0), t, ctx2, add2,
+                )
             eps_u, eps_t = jnp.split(out, 2, axis=0)
             return eps_u + cfg.guidance_scale * (eps_t - eps_u)
 

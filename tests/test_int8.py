@@ -133,6 +133,33 @@ def test_pipeline_int8_spans_guide_exact():
     np.testing.assert_array_equal(e_exact, e_bf)  # guide leg untouched
 
 
+def test_sdxl_sample_runs_with_int8():
+    """config.int8 routes the SDXL t2i eps through the w8a8 path too
+    (sampling/sdxl.py; bench --preset sdxl --int8)."""
+    import dataclasses
+
+    from distdiff_tpu.config import PipelineConfig
+    from distdiff_tpu.sampling.sdxl import SDXLPipeline
+
+    cfg = dataclasses.replace(PipelineConfig.sdxl_tiny(sample_size=32),
+                              int8=True)
+    pipe = SDXLPipeline.create(cfg, seed=0)
+    rng = np.random.RandomState(0)
+    ls = cfg.latent_size
+    d = cfg.unet.cross_attention_dim
+    lat = jnp.zeros((1, ls, ls, 4), jnp.float32)
+    ctx = jnp.asarray(rng.randn(1, 8, d), jnp.float32)
+    pooled = jnp.asarray(
+        rng.randn(1, cfg.text_encoder_2.embed_dim), jnp.float32)
+    add = pipe.added_cond(pooled)
+    sample = jax.jit(pipe.make_sample_fn(text_to_img=True))
+    out = sample(pipe.params, lat, ctx, add,
+                 jnp.zeros_like(ctx), jax.tree.map(jnp.zeros_like, add),
+                 jax.random.PRNGKey(0))
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_split_expand_runs_with_int8():
     pipe = _tiny_pipe(True)
     rng = np.random.RandomState(0)
