@@ -209,6 +209,23 @@ def convert_sd_checkpoint(
     (VERDICT r1 weak #7). Full key coverage for the real SD-1.5 geometry is
     pinned by ``tests/test_weights_real.py``.
     """
+    # The reference resolves the text-encoder CLASS dynamically from the
+    # checkpoint config (CLIPTextModel vs T5EncoderModel for DeepFloyd-IF,
+    # generate_data.py:140-161). No published DistDiff recipe reaches the
+    # T5 branch (PARITY.md scope exclusion) — resolve the same way and
+    # fail LOUDLY on it rather than mis-converting T5 weights as CLIP.
+    te_cfg = os.path.join(checkpoint_dir, "text_encoder", "config.json")
+    if os.path.exists(te_cfg):
+        import json as _json
+
+        with open(te_cfg) as f:
+            archs = _json.load(f).get("architectures") or []
+        if any("T5" in a for a in archs):
+            raise NotImplementedError(
+                f"checkpoint {checkpoint_dir!r} uses a T5 text encoder "
+                "(DeepFloyd-IF family) — unreachable from any published "
+                "DistDiff recipe and out of scope here (PARITY.md); use a "
+                "CLIP-conditioned SD-1.x/2.x/SDXL checkpoint")
     unet = convert_state_dict(
         _load_safetensors(_find_weights(os.path.join(checkpoint_dir, "unet"))),
         map_unet_key,

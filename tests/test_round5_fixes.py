@@ -62,6 +62,23 @@ def _short_plan_pipe(step_in_plan):
     )
 
 
+def test_t5_checkpoint_rejected_loudly(tmp_path):
+    """The reference resolves CLIPTextModel vs T5EncoderModel from the
+    checkpoint config (generate_data.py:140-161); the T5/DeepFloyd branch
+    is a documented scope exclusion — the converter must refuse it with a
+    clear error instead of mis-converting T5 weights as CLIP."""
+    import json
+
+    from distdiff_tpu.weights.convert import convert_sd_checkpoint
+
+    te = tmp_path / "ckpt" / "text_encoder"
+    te.mkdir(parents=True)
+    (te / "config.json").write_text(
+        json.dumps({"architectures": ["T5EncoderModel"]}))
+    with pytest.raises(NotImplementedError, match="T5 text encoder"):
+        convert_sd_checkpoint(str(tmp_path / "ckpt"))
+
+
 def test_guidance_active_respects_step_in_plan():
     assert not _short_plan_pipe(False).guidance_active()
     assert _short_plan_pipe(True).guidance_active()
