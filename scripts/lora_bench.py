@@ -29,7 +29,7 @@ from distdiff_tpu.config import PipelineConfig
 from distdiff_tpu.models import UNet2DCondition
 from distdiff_tpu.sampling.pipeline import init_params_lazy
 from distdiff_tpu.models import AutoencoderKL, CLIPTextEncoder
-from distdiff_tpu.schedulers.ddim import build_schedule
+from distdiff_tpu.schedulers.ddim import make_schedule
 from distdiff_tpu.train.lora import init_lora, make_lora_train_step
 
 
@@ -38,10 +38,12 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=[4, 8, 16])
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--rank", type=int, default=8)
+    p.add_argument("--tiny", action="store_true",
+                   help="toy geometry smoke run (CPU-friendly)")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    config = PipelineConfig.sd15()
+    config = PipelineConfig.tiny() if args.tiny else PipelineConfig.sd15()
     unet = UNet2DCondition(config.unet)
     vae = AutoencoderKL(config.vae)
     text = CLIPTextEncoder(config.text_encoder)
@@ -49,7 +51,7 @@ def main():
     uparams = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, params["unet"])
-    sched = build_schedule("ddim", config.num_inference_steps)
+    sched = make_schedule(num_inference_steps=config.num_inference_steps)
     lora = init_lora(jax.random.PRNGKey(0), uparams, rank=args.rank)
     n_leaves = len(jax.tree_util.tree_leaves(lora))
     n_par = sum(x.size for x in jax.tree_util.tree_leaves(lora))
