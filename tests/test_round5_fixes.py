@@ -103,3 +103,19 @@ def test_split_expand_guided_with_shifted_window():
     assert out.shape == (b, pipe.config.sample_size,
                          pipe.config.sample_size, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lora_bench_script_runs_tiny(capsys):
+    """The LoRA throughput probe must keep importing the real APIs
+    (it shipped once with a dead import — VERDICT r4 #7)."""
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["lora_bench", "--tiny", "--batches", "2", "--iters", "1"]
+    try:
+        runpy.run_path("scripts/lora_bench.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "img/s" in out
