@@ -16,17 +16,18 @@ def test_clamp_window_transform_skips_when_before_start():
     from distdiff_tpu.sampling.pipeline import _clamp_window
 
     # reference: trigger index precedes the loop start -> never fires
-    assert _clamp_window("transform_guidance", start=35, g0=30, g1=32) == (False, 30)
-    assert _clamp_window("transform_guidance", start=30, g0=30, g1=32) == (True, 30)
-    assert _clamp_window("transform_guidance", start=10, g0=30, g1=32) == (True, 30)
+    # (r5: _clamp_window also returns g1 for --guidance_step_in_plan)
+    assert _clamp_window("transform_guidance", start=35, g0=30, g1=32) == (False, 30, 32)
+    assert _clamp_window("transform_guidance", start=30, g0=30, g1=32) == (True, 30, 32)
+    assert _clamp_window("transform_guidance", start=10, g0=30, g1=32) == (True, 30, 32)
 
 
 def test_clamp_window_direct_truncates_to_start():
     from distdiff_tpu.sampling.pipeline import _clamp_window
 
-    assert _clamp_window("direct_guidance", start=31, g0=30, g1=34) == (True, 31)
-    assert _clamp_window("direct_guidance", start=34, g0=30, g1=34) == (False, 34)
-    assert _clamp_window("direct_guidance", start=0, g0=30, g1=34) == (True, 30)
+    assert _clamp_window("direct_guidance", start=31, g0=30, g1=34) == (True, 31, 34)
+    assert _clamp_window("direct_guidance", start=34, g0=30, g1=34) == (False, 34, 34)
+    assert _clamp_window("direct_guidance", start=0, g0=30, g1=34) == (True, 30, 34)
 
 
 def test_split_expand_disables_guidance_when_window_precedes_start():
