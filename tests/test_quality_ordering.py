@@ -74,9 +74,14 @@ def test_guided_beats_unguided_five_seeds(tmp_path, monkeypatch):
 )
 def test_full_ordering_starved_regime(tmp_path, monkeypatch):
     """cal14: guided > unguided > original in ONE run (v5e-measured
-    76.60 > 75.80 > 65.60). The expansion-vs-original gap (~+10, ~5 sigma)
-    is asserted hard; the +0.8 guided-vs-unguided edge is within ~1 sigma
-    run-to-run, so it is asserted as non-inferiority (>= -0.5)."""
+    76.60 > 75.80 > 65.60 at 5 seeds; at 60 seeds 76.98 > 75.87 > 66.09
+    with the paired guided-unguided margin +1.12 at t=3.12 — every
+    pairwise gap >=3 sigma, docs/quality_loop_v5e_r4.md r5 section).
+    The expansion-vs-original gap (~+10, ~5 sigma) is asserted hard; at
+    5 seeds the ~1-pt guided-vs-unguided edge sits under the 200-image
+    test set's binomial noise floor (~2.8 sd/seed), so it is asserted
+    as non-inferiority (>= -0.5); the >=3-sigma claim needs the 60-seed
+    extension."""
     monkeypatch.chdir(tmp_path)
     ql = _load_quality_loop()
     table = ql.main([
